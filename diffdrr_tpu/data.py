@@ -1,0 +1,399 @@
+"""CT volume ingest and preprocessing.
+
+TPU-native replacement for the reference's torchio-based data layer
+(diffdrr/data.py). Host-side work (I/O, HU->density, reorientation,
+isocenter centering) stays in NumPy; the resulting ``Subject`` carries plain
+arrays that the renderer moves to device once.
+
+Replaces the external dependencies that do real work in the reference
+(SURVEY §2.3): torchio.Subject/ScalarImage -> :class:`Image`/:class:`Subject`
+dataclasses; nibabel -> :mod:`diffdrr_tpu.nifti`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from . import nifti
+from .pose import RigidTransform
+
+__all__ = ["Image", "Subject", "read", "transform_hu_to_density", "load_example_ct"]
+
+
+class Image:
+    """A 3D image + affine — minimal stand-in for torchio.ScalarImage."""
+
+    def __init__(self, data: np.ndarray, affine: np.ndarray):
+        data = np.asarray(data)
+        if data.ndim == 4 and data.shape[0] == 1:  # torchio's (1, X, Y, Z)
+            data = data[0]
+        self.data = data
+        self.affine = np.asarray(affine, np.float64)
+
+    @classmethod
+    def load(cls, path: Union[str, Path]) -> "Image":
+        data, affine = nifti.load(path)
+        return cls(data, affine)
+
+    @property
+    def spatial_shape(self):
+        return self.data.shape
+
+    @property
+    def spacing(self) -> np.ndarray:
+        return np.sqrt((self.affine[:3, :3] ** 2).sum(axis=0))
+
+    @property
+    def orientation(self):
+        """Axis direction codes, e.g. ('R', 'A', 'S')."""
+        return nifti.aff2axcodes(self.affine)
+
+    def get_center(self) -> np.ndarray:
+        """World coordinates of the volume center (torchio semantics)."""
+        idx = (np.asarray(self.spatial_shape, np.float64) - 1.0) / 2.0
+        return self.affine[:3, :3] @ idx + self.affine[:3, 3]
+
+    def get_bounds(self):
+        """((xmin, xmax), (ymin, ymax), (zmin, zmax)) world-space bounds.
+
+        Matches torchio: voxel-edge corners at index -0.5 and shape - 0.5.
+        """
+        first = self.affine[:3, :3] @ np.full(3, -0.5) + self.affine[:3, 3]
+        last = (
+            self.affine[:3, :3] @ (np.asarray(self.spatial_shape) - 0.5)
+            + self.affine[:3, 3]
+        )
+        pts = np.stack([first, last])
+        return tuple((pts[:, i].min(), pts[:, i].max()) for i in range(3))
+
+    def save(self, path: Union[str, Path]) -> None:
+        nifti.save(path, self.data, self.affine)
+
+
+@dataclasses.dataclass
+class Subject:
+    """Container for a CT volume + derived density (+ optional labelmap).
+
+    Stand-in for the torchio.Subject assembled by the reference
+    (diffdrr/data.py:125-133). Attribute names match so downstream code reads
+    identically: ``subject.volume``, ``subject.mask``, ``subject.density``,
+    ``subject.orientation``, ``subject.reorient``, ``subject.fiducials``.
+    """
+
+    volume: Image
+    density: Image
+    mask: Optional[Image] = None
+    orientation: Optional[str] = "AP"
+    reorient: Optional[np.ndarray] = None
+    fiducials: Optional[np.ndarray] = None
+    structures: Optional[Any] = None
+    extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def get_images(self, intensity_only: bool = False) -> List[Image]:
+        imgs = [self.volume, self.density]
+        if self.mask is not None and not intensity_only:
+            imgs.append(self.mask)
+        return imgs
+
+
+def transform_hu_to_density(
+    volume: np.ndarray, bone_attenuation_multiplier: float = 1.0
+) -> np.ndarray:
+    """Piecewise HU -> density transfer function, min-max normalized.
+
+    Three segments — air (<= -800 HU), soft tissue (-800, 350], bone (> 350)
+    with a scalar multiplier on bone — then shift/scale to [0, 1]. Matches
+    reference ``transform_hu_to_density`` (diffdrr/data.py:214-227).
+    """
+    volume = np.asarray(volume, np.float32)
+    air = volume <= -800
+    soft = (-800 < volume) & (volume <= 350)
+    bone = 350 < volume
+
+    density = np.empty_like(volume)
+    soft_min = volume[soft].min() if soft.any() else np.float32(-800.0)
+    density[air] = soft_min
+    density[soft] = volume[soft]
+    density[bone] = volume[bone] * np.float32(bone_attenuation_multiplier)
+    density -= density.min()
+    peak = density.max()
+    if peak > 0:
+        density /= peak
+    return density
+
+
+_REORIENT = {
+    # Rotate the C-arm about the x-axis by 90 degrees (reference: data.py:87-97).
+    "AP": np.array(
+        [[1, 0, 0, 0], [0, 0, -1, 0], [0, 1, 0, 0], [0, 0, 0, 1]], np.float32
+    ),
+    # Same, with the y-axis direction reversed (reference: data.py:98-109).
+    "PA": np.array(
+        [[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]], np.float32
+    ),
+    None: np.eye(4, dtype=np.float32),
+}
+
+
+def canonicalize(subject: Subject) -> Subject:
+    """Move the subject isocenter to the world origin (reference: data.py:187-211)."""
+    affine_original = subject.volume.affine.copy()
+    for image in subject.get_images(intensity_only=False):
+        isocenter = image.get_center()
+        Tinv = np.eye(4)
+        Tinv[:3, 3] = -isocenter
+        image.affine = Tinv @ image.affine
+
+    if subject.fiducials is not None:
+        affine_new = subject.volume.affine
+        affine = affine_new @ np.linalg.inv(affine_original)
+        fid = np.asarray(subject.fiducials, np.float32)
+        if fid.ndim == 2:
+            fid = fid[None]
+        # Host-side (NumPy) application of the rigid transform to fiducials.
+        subject.fiducials = (
+            np.einsum("ij,bnj->bni", affine[:3, :3].astype(np.float32), fid)
+            + affine[:3, 3].astype(np.float32)
+        )
+    return subject
+
+
+def read(
+    volume: Union[str, Path, Image],
+    labelmap: Union[str, Path, Image, None] = None,
+    labels: Union[int, Sequence[int], None] = None,
+    orientation: Optional[str] = "AP",
+    bone_attenuation_multiplier: float = 1.0,
+    fiducials: Optional[np.ndarray] = None,
+    transform: Optional[RigidTransform] = None,
+    center_volume: bool = True,
+    resample_target: Optional[Union[float, Sequence[float]]] = None,
+    **kwargs,
+) -> Subject:
+    """Read a CT (+ optional labelmap) and package it for rendering.
+
+    Behavioral match for the reference ``read`` (diffdrr/data.py:44-181):
+    optional affine pre-transform, HU->density conversion, AP/PA/None
+    reorientation matrix, isocenter centering, label-subset masking with
+    orientation reconciliation, and optional resampling.
+    """
+    if not isinstance(volume, Image):
+        volume = Image.load(volume)
+
+    mask = None
+    if labelmap is not None:
+        mask = labelmap if isinstance(labelmap, Image) else Image.load(labelmap)
+
+    if transform is not None:
+        T = np.asarray(transform.matrix)[0]
+        volume = Image(volume.data, T @ volume.affine)
+
+    density = Image(
+        transform_hu_to_density(volume.data, bone_attenuation_multiplier),
+        volume.affine,
+    )
+
+    if orientation not in _REORIENT:
+        raise ValueError(f"Unrecognized orientation {orientation}")
+    reorient = _REORIENT[orientation].copy()
+
+    subject = Subject(
+        volume=volume,
+        density=density,
+        mask=mask,
+        orientation=orientation,
+        reorient=reorient,
+        fiducials=fiducials,
+        extra=dict(kwargs),
+    )
+    if "structures" in subject.extra:
+        subject.structures = subject.extra.pop("structures")
+
+    if center_volume:
+        subject = canonicalize(subject)
+
+    if labels is not None:
+        if isinstance(labels, int):
+            labels = [labels]
+        mask_data = subject.mask.data
+        if subject.volume.orientation != subject.mask.orientation:
+            # Reorient mask data to match the volume (reference: data.py:149-166).
+            tf = nifti.ornt_transform(
+                nifti.axcodes2ornt(subject.mask.orientation),
+                nifti.axcodes2ornt(subject.volume.orientation),
+            )
+            mask_data = nifti.apply_orientation(mask_data, tf)
+        keep = np.isin(mask_data, np.asarray(labels))
+        subject.volume.data = subject.volume.data * keep
+        subject.mask.data = subject.mask.data * keep
+        subject.density.data = subject.density.data * keep
+
+    if resample_target is not None:
+        subject = resample_subject(subject, resample_target)
+
+    return subject
+
+
+def resample_subject(subject: Subject, target: Union[float, Sequence[float]]) -> Subject:
+    """Resample all images to new voxel spacing (torchio.Resample equivalent)."""
+    from scipy import ndimage
+
+    if np.isscalar(target):
+        target = (float(target),) * 3
+    target = np.asarray(target, np.float64)
+
+    def _resample(image: Image, order: int) -> Image:
+        spacing = image.spacing
+        zoom = spacing / target
+        new_shape = np.maximum(1, np.round(np.asarray(image.spatial_shape) * zoom))
+        # New affine: direction preserved, spacing swapped for target.
+        direction = image.affine[:3, :3] / spacing
+        new_affine = np.eye(4)
+        new_affine[:3, :3] = direction * target
+        new_affine[:3, 3] = image.affine[:3, 3]
+        # Voxel map: old_index = A_old^-1 @ A_new @ new_index
+        M = np.linalg.inv(image.affine) @ new_affine
+        data = ndimage.affine_transform(
+            image.data.astype(np.float32),
+            M[:3, :3],
+            offset=M[:3, 3],
+            output_shape=tuple(int(s) for s in new_shape),
+            order=order,
+            mode="constant",
+            cval=float(image.data.min()) if order > 0 else 0.0,
+        )
+        if order == 0:
+            data = data.astype(image.data.dtype)
+        return Image(data, new_affine)
+
+    subject.volume = _resample(subject.volume, 1)
+    subject.density = _resample(subject.density, 1)
+    if subject.mask is not None:
+        subject.mask = _resample(subject.mask, 0)
+    return subject
+
+
+# -----------------------------------------------------------------------------
+# Example data: procedural chest phantom
+# -----------------------------------------------------------------------------
+
+
+def _chest_phantom(shape=(512, 512, 133), seed: int = 0):
+    """Deterministic synthetic chest CT (HU) + structure labelmap.
+
+    The reference ships a real chest CT (diffdrr/data/cxr.nii.gz, loaded at
+    diffdrr/data.py:19-38). We cannot redistribute that scan, so the example
+    subject here is a procedurally generated phantom with the same array
+    shape, spacing scale, and HU statistics regime: air background, soft
+    tissue thorax, low-density lungs, high-density spine/ribs/sternum, and a
+    heart. Labels: 0 background, 1 body, 2/3 left/right lung, 4 heart,
+    5 spine, 6 ribs.
+    """
+    X, Y, Z = shape
+    x = np.linspace(-1, 1, X, dtype=np.float32)[:, None, None]
+    y = np.linspace(-1, 1, Y, dtype=np.float32)[None, :, None]
+    z = np.linspace(-1, 1, Z, dtype=np.float32)[None, None, :]
+
+    hu = np.full(shape, -1024.0, np.float32)
+    labels = np.zeros(shape, np.int16)
+
+    # Thorax: elliptic cylinder along z.
+    body = (x / 0.85) ** 2 + (y / 0.65) ** 2 <= 1.0
+    body = body & (np.abs(z) <= 0.95)
+    hu[body] = 30.0
+    labels[body] = 1
+
+    # Lungs: two ellipsoids of near-air density.
+    for sx, lab in ((-0.42, 2), (0.42, 3)):
+        lung = ((x - sx) / 0.3) ** 2 + (y / 0.38) ** 2 + (z / 0.8) ** 2 <= 1.0
+        lung = lung & body
+        hu[lung] = -780.0
+        labels[lung] = lab
+
+    # Heart: ellipsoid between the lungs, slightly anterior.
+    heart = ((x - 0.08) / 0.22) ** 2 + ((y + 0.18) / 0.25) ** 2 + (z / 0.45) ** 2 <= 1.0
+    heart = heart & body
+    hu[heart] = 45.0
+    labels[heart] = 4
+
+    # Spine: posterior cylinder of bone.
+    spine = (x / 0.09) ** 2 + ((y - 0.45) / 0.09) ** 2 <= 1.0
+    spine = spine & body
+    hu[spine] = 700.0
+    labels[spine] = 5
+
+    # Ribs: thin shell slabs of bone on the body surface, periodic in z.
+    r2 = (x / 0.82) ** 2 + (y / 0.62) ** 2
+    shell = (r2 <= 1.0) & (r2 >= 0.88) & body
+    bands = (np.sin(z * np.pi * 6.0) > 0.55) & np.broadcast_to(
+        np.ones_like(x, dtype=bool), shape
+    )
+    ribs = shell & bands & (y < 0.5)
+    hu[ribs] = 500.0
+    labels[ribs] = 6
+
+    # Mild smooth intensity variation for realism (deterministic).
+    rng = np.random.default_rng(seed)
+    low = rng.normal(0.0, 12.0, (8, 8, 4)).astype(np.float32)
+    from scipy import ndimage
+
+    noise = ndimage.zoom(low, (X / 8, Y / 8, Z / 4), order=1)
+    hu = hu + noise[:X, :Y, :Z] * (labels > 0)
+
+    return hu, labels
+
+
+_EXAMPLE_STRUCTURES = [
+    (1, "body"),
+    (2, "lung_left"),
+    (3, "lung_right"),
+    (4, "heart"),
+    (5, "spine"),
+    (6, "ribs"),
+]
+
+
+def load_example_ct(
+    labels=None,
+    orientation: Optional[str] = "AP",
+    bone_attenuation_multiplier: float = 1.0,
+    shape=(512, 512, 133),
+    **kwargs,
+) -> Subject:
+    """Load the example chest subject (procedural phantom; see _chest_phantom).
+
+    API match for the reference ``load_example_ct`` (diffdrr/data.py:19-38):
+    returns a Subject with density, labelmap mask, a ``structures`` table, and
+    fiducials. Spacing mirrors the reference scan's scale (sub-mm in-plane,
+    2.5 mm slices).
+    """
+    import pandas as pd
+
+    hu, labelmap = _chest_phantom(shape)
+    spacing = np.array([0.703125, 0.703125, 2.5])
+    affine = np.diag([*spacing, 1.0])
+    volume = Image(hu, affine)
+    mask = Image(labelmap, affine)
+    structures = pd.DataFrame(_EXAMPLE_STRUCTURES, columns=["id", "name"])
+    # Two deterministic fiducials near the carina and apex (world coords).
+    fiducials = np.asarray(
+        [[[shape[0] * spacing[0] * 0.5, shape[1] * spacing[1] * 0.5,
+           shape[2] * spacing[2] * 0.6],
+          [shape[0] * spacing[0] * 0.5, shape[1] * spacing[1] * 0.45,
+           shape[2] * spacing[2] * 0.9]]],
+        np.float32,
+    )
+    return read(
+        volume,
+        mask,
+        labels,
+        orientation=orientation,
+        bone_attenuation_multiplier=bone_attenuation_multiplier,
+        fiducials=fiducials,
+        structures=structures,
+        **kwargs,
+    )
