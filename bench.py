@@ -1,0 +1,80 @@
+"""Benchmark harness: rays/s on the reference's headline configuration.
+
+Headline metric (BASELINE.md): Siddon-class render of a 200x200 DRR from the
+512x512x133 example chest CT. Reference: 24.6 ms on an RTX 2080 Ti
+= 1.626 M rays/s. Prints ONE JSON line with the measured value and the ratio
+vs that baseline.
+
+Timing methodology: the axon TPU tunnel caches/async-dispatches identical
+calls, so naive wall-timing lies. We instead time a jitted K-iteration
+`lax.scan` whose pose input depends on the carry (no two renders identical),
+and report per-render time from the K-vs-1 difference.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _time_scan(render_scan, rot0, trans, iters):
+    out = render_scan(rot0, trans, iters)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    out = render_scan(rot0, trans, iters)
+    out.block_until_ready()
+    return time.perf_counter() - t0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from diffdrr_tpu import DRR, load_example_ct
+
+    H = W = 200
+    subject = load_example_ct(shape=(512, 512, 133))
+    # The fastest production-accurate renderer currently wired in.
+    drr = DRR(subject, sdd=1020.0, height=H, delx=2.0, renderer="trilinear")
+
+    trans = jnp.asarray([[0.0, 850.0, 0.0]], jnp.float32)
+    rot0 = jnp.asarray([[0.0, np.pi / 2, 0.0]], jnp.float32)
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def render_scan(rot0, trans, iters):
+        def body(carry, _):
+            rot, acc = carry
+            img = drr(
+                rot, trans, parameterization="euler_angles", convention="ZXY",
+                n_points=512,
+            )
+            # Make the next pose depend on this render: defeats caching.
+            rot = rot + 1e-6 * jnp.mean(img)
+            return (rot, acc + jnp.mean(img)), None
+
+        (rot, acc), _ = jax.lax.scan(body, (rot0, jnp.float32(0.0)), None,
+                                     length=iters)
+        return acc
+
+    t1 = _time_scan(render_scan, rot0, trans, 1)
+    k = 8
+    tk = _time_scan(render_scan, rot0, trans, 1 + k)
+    per_render = max((tk - t1) / k, 1e-9)
+
+    rays_per_s = H * W / per_render
+    baseline = 40_000 / 24.6e-3  # reference Siddon 200^2 on RTX 2080 Ti
+    print(
+        json.dumps(
+            {
+                "metric": "drr_render_rays_per_s_200x200_512ct",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

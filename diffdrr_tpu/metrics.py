@@ -1,0 +1,294 @@
+"""Image similarity metrics and pose geodesics for 2D/3D registration.
+
+TPU-native reimplementation of the reference metrics (diffdrr/metrics.py):
+NCC / multiscale NCC / gradient NCC (Sobel), soft-histogram mutual
+information (replacing the kornia dependency, SURVEY §2.3), and the SE(3)
+geodesic distances used for convergence checks.
+
+All metrics are pure functions wrapped in thin callable classes mirroring the
+reference's module API; everything is jit/grad-safe.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .pose import RigidTransform, convert, se3_log_map, so3_log_map
+
+__all__ = [
+    "NormalizedCrossCorrelation2d",
+    "MultiscaleNormalizedCrossCorrelation2d",
+    "GradientNormalizedCrossCorrelation2d",
+    "MutualInformation",
+    "LogGeodesicSE3",
+    "DoubleGeodesicSE3",
+    "ncc2d",
+    "mutual_information",
+    "sobel",
+    "gaussian_blur",
+]
+
+
+# -----------------------------------------------------------------------------
+# Patches + NCC
+# -----------------------------------------------------------------------------
+
+
+def to_patches(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """Sliding patches as channels (reference: metrics.py:16-18).
+
+    (B, C, H, W) -> (B, C * nH * nW, patch, patch) with stride 1.
+    """
+    B, C, H, W = x.shape
+    p = patch_size
+    patches = jax.lax.conv_general_dilated_patches(
+        x, filter_shape=(p, p), window_strides=(1, 1), padding="VALID"
+    )  # (B, C*p*p, nH, nW)
+    nH, nW = patches.shape[-2:]
+    patches = patches.reshape(B, C, p, p, nH, nW)
+    patches = patches.transpose(0, 1, 4, 5, 2, 3)
+    return patches.reshape(B, C * nH * nW, p, p)
+
+
+def _normalize_local(x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    mu = jnp.mean(x, axis=(-1, -2), keepdims=True)
+    var = jnp.var(x, axis=(-1, -2), keepdims=True) + eps
+    return (x - mu) / jnp.sqrt(var)
+
+
+def ncc2d(
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    patch_size: Optional[int] = None,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Normalized cross-correlation, optionally patchwise (metrics.py:21-44)."""
+    if patch_size is not None:
+        x1 = to_patches(x1, patch_size)
+        x2 = to_patches(x2, patch_size)
+    assert x1.shape == x2.shape, "Input images must be the same size"
+    _, c, h, w = x1.shape
+    x1 = _normalize_local(x1, eps)
+    x2 = _normalize_local(x2, eps)
+    score = jnp.einsum("b...,b...->b", x1, x2)
+    return score / (c * h * w)
+
+
+class NormalizedCrossCorrelation2d:
+    """NCC between batches of images (reference: metrics.py:21-44)."""
+
+    def __init__(self, patch_size: Optional[int] = None, eps: float = 1e-5):
+        self.patch_size = patch_size
+        self.eps = eps
+
+    def __call__(self, x1, x2):
+        return ncc2d(x1, x2, self.patch_size, self.eps)
+
+    forward = __call__
+
+
+class MultiscaleNormalizedCrossCorrelation2d:
+    """Weighted sum of NCC at multiple patch scales (metrics.py:47-63)."""
+
+    def __init__(
+        self,
+        patch_sizes: Sequence[Optional[int]] = (None,),
+        patch_weights: Sequence[float] = (1.0,),
+        eps: float = 1e-5,
+    ):
+        assert len(patch_sizes) == len(patch_weights), "Each scale must have a weight"
+        self.patch_sizes = list(patch_sizes)
+        self.patch_weights = list(patch_weights)
+        self.eps = eps
+
+    def __call__(self, x1, x2):
+        scores = [
+            w * ncc2d(x1, x2, p, self.eps)
+            for w, p in zip(self.patch_weights, self.patch_sizes)
+        ]
+        return jnp.sum(jnp.stack(scores, axis=0), axis=0)
+
+    forward = __call__
+
+
+# -----------------------------------------------------------------------------
+# Sobel gradient NCC
+# -----------------------------------------------------------------------------
+
+
+def _gaussian_kernel1d(kernel_size: int, sigma: float) -> jnp.ndarray:
+    # torchvision's construction: linspace over +-(k-1)/2, normalized.
+    x = jnp.linspace(
+        -(kernel_size - 1) * 0.5, (kernel_size - 1) * 0.5, kernel_size
+    )
+    pdf = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return pdf / pdf.sum()
+
+
+def gaussian_blur(img: jnp.ndarray, kernel_size: int, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur with reflect padding (torchvision semantics)."""
+    k = _gaussian_kernel1d(kernel_size, sigma).astype(img.dtype)
+    pad = kernel_size // 2
+    x = jnp.pad(img, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="reflect")
+    kh = k.reshape(1, 1, -1, 1)
+    kw = k.reshape(1, 1, 1, -1)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID", dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID", dimension_numbers=dn)
+    return x
+
+
+_SOBEL_GX = jnp.asarray([[1.0, 0.0, -1.0], [2.0, 0.0, -2.0], [1.0, 0.0, -1.0]])
+_SOBEL_GY = jnp.asarray([[1.0, 2.0, 1.0], [0.0, 0.0, 0.0], [-1.0, -2.0, -1.0]])
+
+
+def sobel(img: jnp.ndarray, sigma: float = 1.0) -> jnp.ndarray:
+    """Gaussian-blurred Sobel X/Y gradients (reference: metrics.py:69-93).
+
+    (B, 1, H, W) -> (B, 2, H, W), zero padding like torch Conv2d(padding=1).
+    """
+    x = img
+    if sigma > 0:
+        kernel_size = int(6 * sigma + 1) | 1
+        x = gaussian_blur(img, kernel_size, sigma)
+    kernel = jnp.stack([_SOBEL_GX, _SOBEL_GY])[:, None].astype(x.dtype)  # (2,1,3,3)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NCHW", "OIHW", "NCHW"))
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn
+    )
+
+
+class Sobel:
+    def __init__(self, sigma: float):
+        self.sigma = sigma
+
+    def __call__(self, img):
+        return sobel(img, self.sigma)
+
+    forward = __call__
+
+
+class GradientNormalizedCrossCorrelation2d(NormalizedCrossCorrelation2d):
+    """NCC between Sobel gradients of two image batches (metrics.py:96-104)."""
+
+    def __init__(self, patch_size: Optional[int] = None, sigma: float = 1.0, **kwargs):
+        super().__init__(patch_size, **kwargs)
+        self.sobel = Sobel(sigma)
+
+    def __call__(self, x1, x2):
+        return super().__call__(self.sobel(x1), self.sobel(x2))
+
+    forward = __call__
+
+
+# -----------------------------------------------------------------------------
+# Mutual information (soft histograms)
+# -----------------------------------------------------------------------------
+
+
+def _marginal_pdf(values, bins, sigma, epsilon):
+    """Soft (Parzen-window) marginal histogram — kornia semantics.
+
+    values: (B, N, 1); bins: (num_bins,). Returns (pdf (B, bins),
+    kernel_values (B, N, bins)).
+    """
+    residuals = values - bins[None, None, :]
+    kernel_values = jnp.exp(-0.5 * (residuals / sigma) ** 2)
+    pdf = jnp.mean(kernel_values, axis=1)
+    normalization = jnp.sum(pdf, axis=1, keepdims=True) + epsilon
+    return pdf / normalization, kernel_values
+
+
+def _joint_pdf(kernel_values1, kernel_values2, epsilon):
+    joint = jnp.einsum("bni,bnj->bij", kernel_values1, kernel_values2)
+    normalization = jnp.sum(joint, axis=(1, 2), keepdims=True) + epsilon
+    return joint / normalization
+
+
+def mutual_information(
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    sigma: float = 0.1,
+    num_bins: int = 256,
+    epsilon: float = 1e-10,
+    normalize: bool = True,
+) -> jnp.ndarray:
+    """(Normalized) mutual information on [0, 1] images (metrics.py:110-139)."""
+    assert x1.shape == x2.shape
+    B, C, H, W = x1.shape
+    bins = jnp.linspace(0.0, 1.0, num_bins, dtype=x1.dtype)
+
+    v1 = x1.reshape(B, H * W, C)
+    v2 = x2.reshape(B, H * W, C)
+    pdf1, kv1 = _marginal_pdf(v1[..., :1], bins, sigma, epsilon)
+    pdf2, kv2 = _marginal_pdf(v2[..., :1], bins, sigma, epsilon)
+    pdf12 = _joint_pdf(kv1, kv2, epsilon)
+
+    H1 = -jnp.sum(pdf1 * jnp.log2(pdf1 + epsilon), axis=1)
+    H2 = -jnp.sum(pdf2 * jnp.log2(pdf2 + epsilon), axis=1)
+    H12 = -jnp.sum(pdf12 * jnp.log2(pdf12 + epsilon), axis=(1, 2))
+
+    mi = H1 + H2 - H12
+    if normalize:
+        mi = 2 * mi / (H1 + H2)
+    return mi
+
+
+class MutualInformation:
+    """Mutual information (reference: metrics.py:110-139)."""
+
+    def __init__(self, sigma=0.1, num_bins=256, epsilon=1e-10, normalize=True):
+        self.sigma = sigma
+        self.num_bins = num_bins
+        self.epsilon = epsilon
+        self.normalize = normalize
+
+    def __call__(self, x1, x2):
+        return mutual_information(
+            x1, x2, self.sigma, self.num_bins, self.epsilon, self.normalize
+        )
+
+    forward = __call__
+
+
+# -----------------------------------------------------------------------------
+# SE(3) geodesics
+# -----------------------------------------------------------------------------
+
+
+class LogGeodesicSE3:
+    """Distance in the log-space of SE(3) (reference: metrics.py:145-158)."""
+
+    def __call__(self, pose_1: RigidTransform, pose_2: RigidTransform) -> jnp.ndarray:
+        rel = pose_2.compose(pose_1.inverse())
+        return jnp.linalg.norm(rel.get_se3_log(), axis=1)
+
+    forward = __call__
+
+
+class DoubleGeodesicSE3:
+    """Angular + translational geodesics, combined (metrics.py:164-187).
+
+    The rotational geodesic is scaled by sdd/2 to express it in units of
+    length at the isocenter.
+    """
+
+    def __init__(self, sdd: float, eps: float = 1e-6):
+        self.sdr = sdd / 2
+        self.eps = eps
+
+    def __call__(self, pose_1: RigidTransform, pose_2: RigidTransform):
+        r1, t1 = pose_1.convert("matrix")
+        r2, t2 = pose_2.convert("matrix")
+        rot = self.sdr * jnp.linalg.norm(
+            so3_log_map(jnp.einsum("...ji,...jk->...ik", r1, r2)), axis=-1
+        )
+        xyz = jnp.linalg.norm(t1 - t2, axis=-1)
+        dou = jnp.sqrt(rot**2 + xyz**2 + self.eps)
+        return rot, xyz, dou
+
+    forward = __call__

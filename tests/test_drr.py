@@ -1,0 +1,171 @@
+"""DRR orchestrator tests: shapes, options, projections, jit, gradients."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from diffdrr_tpu import DRR, load_example_ct, convert
+from diffdrr_tpu.pose import RigidTransform
+
+
+@pytest.fixture(scope="module")
+def subject():
+    return load_example_ct(shape=(48, 48, 24))
+
+
+@pytest.fixture(scope="module")
+def pose_args():
+    rot = jnp.array([[0.0, np.pi / 2, 0.0]], jnp.float32)
+    trans = jnp.array([[0.0, 400.0, 0.0]], jnp.float32)
+    return rot, trans
+
+
+def _render(drr, pose_args, **kwargs):
+    rot, trans = pose_args
+    return drr(rot, trans, parameterization="euler_angles", convention="ZXY", **kwargs)
+
+
+def test_shapes_and_nonempty(subject, pose_args):
+    drr = DRR(subject, sdd=800.0, height=24, delx=4.0, width=16, dely=5.0)
+    img = _render(drr, pose_args)
+    assert img.shape == (1, 1, 24, 16)
+    assert float(jnp.abs(img).sum()) > 0
+
+
+def test_reshape_false(subject, pose_args):
+    drr = DRR(subject, sdd=800.0, height=16, delx=4.0, reshape=False)
+    img = _render(drr, pose_args)
+    assert img.shape == (1, 1, 256)
+
+
+def test_batched_poses(subject):
+    drr = DRR(subject, sdd=800.0, height=16, delx=4.0)
+    rot = jnp.asarray(np.random.default_rng(0).normal(0, 0.1, (3, 3)), jnp.float32)
+    trans = jnp.asarray([[0.0, 400.0, 0.0]] * 3, jnp.float32)
+    img = drr(rot + jnp.asarray([0.0, np.pi / 2, 0.0]), trans,
+              parameterization="euler_angles", convention="ZXY")
+    assert img.shape == (3, 1, 16, 16)
+    # Different poses give different images.
+    assert not np.allclose(np.asarray(img[0]), np.asarray(img[1]))
+
+
+def test_pose_object_input(subject, pose_args):
+    drr = DRR(subject, sdd=800.0, height=16, delx=4.0)
+    rot, trans = pose_args
+    pose = convert(rot, trans, parameterization="euler_angles", convention="ZXY")
+    img1 = drr(pose)
+    img2 = _render(drr, pose_args)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-5)
+
+
+def test_patch_rendering_matches(subject, pose_args):
+    kw = dict(sdd=800.0, height=16, delx=4.0)
+    full = _render(DRR(subject, **kw), pose_args)
+    patched = _render(DRR(subject, patch_size=8, **kw), pose_args)
+    np.testing.assert_allclose(np.asarray(patched), np.asarray(full), atol=1e-4)
+
+
+def test_p_subsample(subject, pose_args):
+    drr = DRR(subject, sdd=800.0, height=16, delx=4.0, p_subsample=0.25)
+    img = _render(drr, pose_args)
+    assert img.shape == (1, 1, 16, 16)
+    # Exactly 25% of pixels are filled (the rest are zero).
+    filled = (np.asarray(img) != 0).sum()
+    assert filled <= 64
+
+
+def test_mask_to_channels(subject, pose_args):
+    drr = DRR(subject, sdd=800.0, height=16, delx=4.0)
+    chans = _render(drr, pose_args, mask_to_channels=True)
+    total = _render(drr, pose_args)
+    assert chans.shape == (1, drr.n_channels, 16, 16)
+    np.testing.assert_allclose(
+        np.asarray(chans.sum(axis=1, keepdims=True)), np.asarray(total),
+        rtol=1e-3, atol=1e-3,
+    )
+
+
+def test_checkpoint_gradients_same_values_and_grads(subject, pose_args):
+    kw = dict(sdd=800.0, height=16, delx=4.0, renderer="trilinear")
+    rot, trans = pose_args
+    drr_a = DRR(subject, **kw)
+    drr_b = DRR(subject, checkpoint_gradients=True, **kw)
+
+    def loss(drr, rot):
+        return jnp.sum(
+            drr(rot, trans, parameterization="euler_angles", convention="ZXY") ** 2
+        )
+
+    va, ga = jax.value_and_grad(lambda r: loss(drr_a, r))(rot)
+    vb, gb = jax.value_and_grad(lambda r: loss(drr_b, r))(rot)
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-6)
+
+
+def test_jit_through_pytree(subject, pose_args):
+    drr = DRR(subject, sdd=800.0, height=16, delx=4.0)
+    rot, trans = pose_args
+
+    @jax.jit
+    def render(drr, rot, trans):
+        return drr(rot, trans, parameterization="euler_angles", convention="ZXY")
+
+    img_jit = render(drr, rot, trans)
+    img_eager = _render(drr, pose_args)
+    np.testing.assert_allclose(np.asarray(img_jit), np.asarray(img_eager),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_density_gradient_for_reconstruction(subject, pose_args):
+    """The render seam: gradients w.r.t. an explicit density volume."""
+    drr = DRR(subject, sdd=800.0, height=12, delx=5.0, renderer="trilinear")
+    rot, trans = pose_args
+    pose = convert(rot, trans, parameterization="euler_angles", convention="ZXY")
+    source, target = drr.detector(pose, None)
+
+    def loss(density):
+        img = drr.render(density, source, target)
+        return jnp.sum(img**2)
+
+    g = jax.grad(loss)(drr.density)
+    assert g.shape == drr.density.shape
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_projection_roundtrip(subject, pose_args):
+    drr = DRR(subject, sdd=800.0, height=32, delx=2.0)
+    rot, trans = pose_args
+    pose = convert(rot, trans, parameterization="euler_angles", convention="ZXY")
+
+    # Backproject pixel points to world, then reproject: must round trip.
+    pts2d = jnp.asarray([[[4.0, 7.0], [20.0, 11.0], [16.0, 16.0]]], jnp.float32)
+    world = drr.inverse_projection(pose, pts2d)
+    back = drr.perspective_projection(pose, world)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts2d), atol=1e-2)
+
+
+def test_set_intrinsics_and_rescale(subject, pose_args):
+    drr = DRR(subject, sdd=800.0, height=16, delx=4.0)
+    drr.set_intrinsics_(height=20, width=24)
+    img = _render(drr, pose_args)
+    assert img.shape == (1, 1, 20, 24)
+    assert drr.detector.sdd == 800.0
+
+    drr2 = DRR(subject, sdd=800.0, height=16, delx=4.0)
+    drr2.rescale_detector_(2.0)
+    assert drr2.detector.height == 32
+    assert drr2.detector.delx == 2.0
+    img2 = _render(drr2, pose_args)
+    assert img2.shape == (1, 1, 32, 32)
+
+
+def test_renderer_kwargs_flow(subject, pose_args):
+    drr = DRR(subject, sdd=800.0, height=16, delx=4.0, renderer="trilinear")
+    img_100 = _render(drr, pose_args, n_points=100)
+    img_500 = _render(drr, pose_args, n_points=500)
+    # Finer sampling changes the integral slightly but not wildly.
+    a, b = np.asarray(img_100), np.asarray(img_500)
+    assert not np.allclose(a, b)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99

@@ -1,0 +1,197 @@
+"""Metrics tests: NCC family vs torch oracles, MI properties, geodesics."""
+
+import numpy as np
+import pytest
+import torch
+import jax.numpy as jnp
+from scipy import ndimage
+from scipy.spatial.transform import Rotation
+
+from diffdrr_tpu.metrics import (
+    NormalizedCrossCorrelation2d,
+    MultiscaleNormalizedCrossCorrelation2d,
+    GradientNormalizedCrossCorrelation2d,
+    MutualInformation,
+    LogGeodesicSE3,
+    DoubleGeodesicSE3,
+    gaussian_blur,
+    sobel,
+    to_patches,
+)
+from diffdrr_tpu.pose import RigidTransform, convert, make_matrix
+
+
+def _imgs(seed=0, B=2, H=24, W=24):
+    rng = np.random.default_rng(seed)
+    x1 = rng.uniform(0, 1, (B, 1, H, W)).astype(np.float32)
+    x2 = np.clip(x1 + rng.normal(0, 0.1, x1.shape), 0, 1).astype(np.float32)
+    return x1, x2
+
+
+def _torch_ncc(x1, x2, patch_size=None, eps=1e-5):
+    """Independent torch implementation mirroring reference semantics."""
+    x1, x2 = torch.from_numpy(x1), torch.from_numpy(x2)
+    if patch_size is not None:
+
+        def patches(x):
+            x = x.unfold(2, patch_size, 1).unfold(3, patch_size, 1).contiguous()
+            b, c, p1, p2, h, w = x.shape
+            return x.reshape(b, c * p1 * p2, h, w)
+
+        x1, x2 = patches(x1), patches(x2)
+    _, c, h, w = x1.shape
+
+    def norm(x):
+        mu = x.mean(dim=[-1, -2], keepdim=True)
+        var = x.var(dim=[-1, -2], keepdim=True, correction=0) + eps
+        return (x - mu) / var.sqrt()
+
+    x1, x2 = norm(x1), norm(x2)
+    return (torch.einsum("b...,b...->b", x1, x2) / (c * h * w)).numpy()
+
+
+def test_ncc_matches_torch():
+    x1, x2 = _imgs()
+    got = np.asarray(NormalizedCrossCorrelation2d()(jnp.asarray(x1), jnp.asarray(x2)))
+    np.testing.assert_allclose(got, _torch_ncc(x1, x2), atol=1e-5)
+
+
+def test_ncc_patchwise_matches_torch():
+    x1, x2 = _imgs(1, H=16, W=16)
+    got = np.asarray(
+        NormalizedCrossCorrelation2d(patch_size=7)(jnp.asarray(x1), jnp.asarray(x2))
+    )
+    np.testing.assert_allclose(got, _torch_ncc(x1, x2, 7), atol=1e-5)
+
+
+def test_ncc_self_is_one():
+    x1, _ = _imgs(2)
+    got = np.asarray(NormalizedCrossCorrelation2d()(jnp.asarray(x1), jnp.asarray(x1)))
+    np.testing.assert_allclose(got, 1.0, atol=1e-3)
+
+
+def test_multiscale_is_weighted_sum():
+    x1, x2 = _imgs(3, H=16, W=16)
+    m = MultiscaleNormalizedCrossCorrelation2d([None, 9], [0.3, 0.7])
+    got = np.asarray(m(jnp.asarray(x1), jnp.asarray(x2)))
+    expect = 0.3 * _torch_ncc(x1, x2) + 0.7 * _torch_ncc(x1, x2, 9)
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_gaussian_blur_matches_scipy():
+    x1, _ = _imgs(4)
+    sigma, ksize = 1.0, 7
+    got = np.asarray(gaussian_blur(jnp.asarray(x1), ksize, sigma))
+    # scipy 'mirror' == jnp.pad 'reflect' == torch reflect padding; truncate
+    # to the same finite kernel support.
+    expect = np.stack(
+        [
+            ndimage.gaussian_filter(
+                x1[b, 0], sigma, mode="mirror", truncate=(ksize // 2) / sigma
+            )
+            for b in range(x1.shape[0])
+        ]
+    )[:, None]
+    np.testing.assert_allclose(got, expect, atol=1e-4)
+
+
+def test_sobel_matches_torch_conv():
+    x1, _ = _imgs(5)
+    got = np.asarray(sobel(jnp.asarray(x1), sigma=0.0))
+    Gx = torch.tensor([[1.0, 0, -1], [2, 0, -2], [1, 0, -1]])
+    Gy = torch.tensor([[1.0, 2, 1], [0, 0, 0], [-1, -2, -1]])
+    W = torch.stack([Gx, Gy]).unsqueeze(1)
+    expect = torch.nn.functional.conv2d(torch.from_numpy(x1), W, padding=1).numpy()
+    np.testing.assert_allclose(got, expect, atol=1e-4)
+
+
+def test_gradient_ncc_runs_and_orders():
+    x1, x2 = _imgs(6)
+    m = GradientNormalizedCrossCorrelation2d(sigma=1.0)
+    same = np.asarray(m(jnp.asarray(x1), jnp.asarray(x1)))
+    diff = np.asarray(m(jnp.asarray(x1), jnp.asarray(x2)))
+    assert (same > diff - 1e-6).all()
+    np.testing.assert_allclose(same, 1.0, atol=1e-2)
+
+
+def _torch_mi(x1, x2, sigma=0.1, num_bins=64, epsilon=1e-10, normalize=True):
+    """Independent torch oracle using the soft-histogram formulation the
+    reference borrows from kornia (metrics.py:107,127-139)."""
+    x1 = torch.from_numpy(x1)
+    x2 = torch.from_numpy(x2)
+    B, C, H, W = x1.shape
+    bins = torch.linspace(0.0, 1.0, num_bins)
+    v1 = x1.reshape(B, H * W, C)
+    v2 = x2.reshape(B, H * W, C)
+
+    def marginal(v):
+        residuals = v - bins[None, None]
+        kv = torch.exp(-0.5 * (residuals / sigma) ** 2)
+        pdf = kv.mean(dim=1)
+        pdf = pdf / (pdf.sum(dim=1, keepdim=True) + epsilon)
+        return pdf, kv
+
+    p1, kv1 = marginal(v1)
+    p2, kv2 = marginal(v2)
+    joint = kv1.transpose(1, 2) @ kv2
+    p12 = joint / (joint.sum(dim=(1, 2), keepdim=True) + epsilon)
+    H1 = -(p1 * (p1 + epsilon).log2()).sum(dim=1)
+    H2 = -(p2 * (p2 + epsilon).log2()).sum(dim=1)
+    H12 = -(p12 * (p12 + epsilon).log2()).sum(dim=(1, 2))
+    mi = H1 + H2 - H12
+    if normalize:
+        mi = 2 * mi / (H1 + H2)
+    return mi.numpy()
+
+
+def test_mutual_information_matches_torch_oracle():
+    x1, x2 = _imgs(7, H=16, W=16)
+    mi = MutualInformation(num_bins=64)
+    got = np.asarray(mi(jnp.asarray(x1), jnp.asarray(x2)))
+    np.testing.assert_allclose(got, _torch_mi(x1, x2), atol=1e-4)
+
+
+def test_mutual_information_orders():
+    x1, _ = _imgs(7, H=32, W=32)
+    rng = np.random.default_rng(8)
+    indep = rng.uniform(0, 1, x1.shape).astype(np.float32)
+    mi = MutualInformation(num_bins=64)
+    self_mi = np.asarray(mi(jnp.asarray(x1), jnp.asarray(x1)))
+    cross_mi = np.asarray(mi(jnp.asarray(x1), jnp.asarray(indep)))
+    assert (cross_mi < self_mi).all()
+
+
+def test_log_geodesic_zero_and_positive():
+    from diffdrr_tpu.pose import random_rigid_transform
+    import jax
+
+    T1 = random_rigid_transform(jax.random.PRNGKey(0), 3)
+    T2 = random_rigid_transform(jax.random.PRNGKey(1), 3)
+    geo = LogGeodesicSE3()
+    np.testing.assert_allclose(np.asarray(geo(T1, T1)), 0.0, atol=1e-2)
+    assert (np.asarray(geo(T1, T2)) > 0).all()
+
+
+def test_double_geodesic_known_rotation():
+    theta = 0.3
+    R = Rotation.from_rotvec([0, 0, theta]).as_matrix().astype(np.float32)
+    T1 = RigidTransform(make_matrix(jnp.eye(3), jnp.zeros(3)))
+    T2 = RigidTransform(make_matrix(jnp.asarray(R), jnp.asarray([3.0, 4.0, 0.0])))
+    rot, xyz, dou = DoubleGeodesicSE3(sdd=200.0)(T1, T2)
+    np.testing.assert_allclose(np.asarray(rot), 100.0 * theta, rtol=1e-4)
+    # translation geodesic compares camera centers t = R^-1 @ matrix translation
+    expect_xyz = np.linalg.norm(R.T @ np.array([3.0, 4.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(xyz), expect_xyz, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(dou), np.sqrt((100 * theta) ** 2 + expect_xyz**2), rtol=1e-4
+    )
+
+
+def test_to_patches_matches_torch_unfold():
+    x1, _ = _imgs(9, H=10, W=12)
+    p = 5
+    got = np.asarray(to_patches(jnp.asarray(x1), p))
+    x = torch.from_numpy(x1).unfold(2, p, 1).unfold(3, p, 1).contiguous()
+    b, c, p1, p2, h, w = x.shape
+    expect = x.reshape(b, c * p1 * p2, h, w).numpy()
+    np.testing.assert_allclose(got, expect, atol=1e-6)

@@ -1,0 +1,118 @@
+"""Registration tests: the flagship workload (SURVEY §3.3).
+
+The minimum end-to-end slice from SURVEY §7: render a target at a known pose,
+perturb it, and recover the pose by gradient descent through the renderer.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from diffdrr_tpu import DRR, load_example_ct, convert
+from diffdrr_tpu.metrics import DoubleGeodesicSE3
+from diffdrr_tpu.registration import (
+    Registration,
+    PoseRegressor,
+    optimize,
+    make_registration_step,
+    N_ANGULAR_COMPONENTS,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    subject = load_example_ct(shape=(48, 48, 24))
+    drr = DRR(subject, sdd=800.0, height=32, delx=3.0, renderer="trilinear")
+    rot_true = jnp.asarray([[0.05, np.pi / 2 + 0.03, -0.04]], jnp.float32)
+    trans_true = jnp.asarray([[2.0, 400.0, -3.0]], jnp.float32)
+    target = drr(
+        rot_true, trans_true, parameterization="euler_angles", convention="ZXY",
+        n_points=200,
+    )
+    return subject, drr, rot_true, trans_true, target
+
+
+def test_registration_object(setup):
+    _, drr, rot_true, trans_true, target = setup
+    reg = Registration(drr, rot_true, trans_true, "euler_angles", "ZXY")
+    img = reg(n_points=200)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(target), atol=1e-5)
+    # pytree: gradients w.r.t. the registration leaves flow.
+    def loss(reg):
+        return jnp.sum(reg(n_points=100) ** 2)
+
+    g = jax.grad(loss)(reg)
+    assert np.abs(np.asarray(g._rotation)).sum() > 0
+    assert np.abs(np.asarray(g._translation)).sum() > 0
+
+
+def test_gradient_descent_recovers_pose(setup):
+    _, drr, rot_true, trans_true, target = setup
+    rot0 = rot_true + jnp.asarray([[0.04, -0.05, 0.03]], jnp.float32)
+    trans0 = trans_true + jnp.asarray([[6.0, -8.0, 5.0]], jnp.float32)
+
+    geo = DoubleGeodesicSE3(sdd=800.0)
+    pose_true = convert(
+        rot_true, trans_true, parameterization="euler_angles", convention="ZXY"
+    )
+
+    def geodesic(rot, trans):
+        pose = convert(
+            rot, trans, parameterization="euler_angles", convention="ZXY"
+        )
+        return float(geo(pose_true, pose)[2][0])
+
+    before = geodesic(rot0, trans0)
+    rot, trans, trace = optimize(
+        drr, target, rot0, trans0, "euler_angles", "ZXY",
+        n_iters=150, lr_rotation=2e-3, lr_translation=6e-1, n_points=200,
+    )
+    after = geodesic(rot, trans)
+    assert after < before * 0.25, (before, after, trace[-5:])
+    assert trace[-1] > trace[0]
+
+
+def test_registration_step_is_jittable(setup):
+    _, drr, rot_true, trans_true, target = setup
+    init_fn, step_fn = make_registration_step(
+        drr, target, "euler_angles", "ZXY", n_points=100
+    )
+    params, opt_state = init_fn(rot_true, trans_true)
+    params, opt_state, score = step_fn(params, opt_state)
+    assert np.isfinite(float(score))
+
+
+@pytest.mark.parametrize("parameterization", list(N_ANGULAR_COMPONENTS))
+def test_pose_regressor_all_parameterizations(parameterization):
+    conv = "ZYX" if parameterization == "euler_angles" else None
+    model = PoseRegressor(parameterization=parameterization, convention=conv,
+                          model_name="small")
+    x = jnp.ones((2, 1, 32, 32), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    pose = model.apply(params, x)
+    R = np.asarray(pose.rotation)
+    assert R.shape == (2, 3, 3)
+    # Valid rotations: R^T R = I, det = +1.
+    np.testing.assert_allclose(
+        np.einsum("bij,bik->bjk", R, R), np.broadcast_to(np.eye(3), R.shape),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-4)
+
+
+def test_pose_regressor_trains_end_to_end():
+    """Gradients flow through convert for network training."""
+    model = PoseRegressor(parameterization="rotation_6d", model_name="small")
+    x = jnp.ones((1, 1, 32, 32), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    target = jnp.eye(4)[None]
+
+    def loss(params):
+        pose = model.apply(params, x)
+        return jnp.sum((pose.matrix - target) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert sum(float(np.abs(np.asarray(l)).sum()) for l in leaves) > 0
