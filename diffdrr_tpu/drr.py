@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from .data import Subject
 from .detector import Detector
+from .ops.joseph import joseph_raycast
 from .ops.siddon import siddon_raycast
 from .ops.trilinear import trilinear_raycast
 from .pose import RigidTransform, convert
@@ -51,6 +52,7 @@ class _Static:
 _RENDERERS = {
     "siddon": siddon_raycast,
     "trilinear": trilinear_raycast,
+    "joseph": joseph_raycast,
 }
 
 
@@ -126,6 +128,29 @@ class DRR:
         self.patch_size = patch_size
         self.checkpoint_gradients = checkpoint_gradients
 
+        # --- Joseph / Pallas static planning (host-side, at construction) ---
+        # Default march axis: the volume axis most aligned with the principal
+        # ray direction at the identity pose (reorient . canonical +z mapped
+        # through the world->voxel affine). A per-call `axis` kwarg overrides.
+        reorient_R = np.asarray(subject.reorient, np.float64)[:3, :3]
+        affine_inv_R = np.asarray(np.linalg.inv(affine[0]), np.float64)[:3, :3]
+        principal = affine_inv_R @ reorient_R @ np.array([0.0, 0.0, 1.0])
+        self.march_axis = int(np.argmax(np.abs(principal)))
+        # Pallas window sizing: a `tile`-pixel detector tile spans at most
+        # tile * pixel_spacing / voxel_spacing voxels in-plane (magnification
+        # <= 1 toward the source), plus interpolation/alignment slack.
+        spacing = np.sqrt((affine[0][:3, :3] ** 2).sum(axis=0))
+        self.pallas_tile = int(self.renderer_kwargs.pop("pallas_tile", 16))
+        fp = int(
+            np.ceil(self.pallas_tile * max(delx, dely) / float(spacing.min()) * 1.35)
+        ) + 6
+        self.pallas_ky = -(-(fp + 8) // 8) * 8
+        # Lane-dim DMA slices must be 128-aligned in both start and size;
+        # the window absorbs up to 127 voxels of start alignment loss.
+        self.pallas_zw = -(-(fp + 127) // 128) * 128
+        backend = jax.default_backend()
+        self.use_pallas = backend in ("tpu", "axon") and self.pallas_ky <= 256
+
     # ------------------------------------------------------------------ pytree
     def tree_flatten(self):
         children = (
@@ -144,6 +169,11 @@ class DRR:
             self.reshape,
             self.patch_size,
             self.checkpoint_gradients,
+            self.march_axis,
+            self.pallas_tile,
+            self.pallas_ky,
+            self.pallas_zw,
+            self.use_pallas,
         )
         return children, aux
 
@@ -166,6 +196,11 @@ class DRR:
             obj.reshape,
             obj.patch_size,
             obj.checkpoint_gradients,
+            obj.march_axis,
+            obj.pallas_tile,
+            obj.pallas_ky,
+            obj.pallas_zw,
+            obj.use_pallas,
         ) = aux
         obj.subject = subject_static.value
         obj.renderer_kwargs = dict(renderer_kwargs)
@@ -256,6 +291,52 @@ class DRR:
             opts["mask"] = self.mask
             opts["n_channels"] = self.n_channels
 
+        if self.renderer_name == "joseph":
+            # March axis: static if the caller pinned one, otherwise selected
+            # at runtime from the mean ray direction via lax.switch over the
+            # three axis-specialized renders (jit-safe pose dependence).
+            axis = opts.pop("axis", None)
+            use_pallas = (
+                self.use_pallas
+                and not mask_to_channels
+                and self.patch_size is None
+                and self.detector.n_subsample is None
+                and not opts.pop("force_xla", False)
+            )
+            if use_pallas:
+                from .ops.pallas.joseph import joseph_pallas_raycast
+
+                def render_axis(ax):
+                    return partial(
+                        joseph_pallas_raycast,
+                        image_shape=(self.detector.height, self.detector.width),
+                        axis=ax,
+                        step=opts.get("step", 1),
+                        voxel_shift=self.voxel_shift,
+                        tile=self.pallas_tile,
+                        ky=self.pallas_ky,
+                        zw=self.pallas_zw,
+                    )
+            else:
+                opts.pop("force_xla", None)
+
+                def render_axis(ax):
+                    return partial(renderer, axis=ax, **opts)
+
+            if axis is not None:
+                return render_axis(axis)(density, source, target, weights)
+            d = jnp.mean(target - source, axis=(0, 1))
+            idx = jnp.argmax(jnp.abs(d))
+            return jax.lax.switch(
+                idx,
+                [render_axis(a) for a in range(3)],
+                density,
+                source,
+                target,
+                weights,
+            )
+
+        opts.pop("force_xla", None)
         if self.patch_size is None:
             return renderer(density, source, target, weights, **opts)
 

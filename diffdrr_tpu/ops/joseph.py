@@ -86,7 +86,7 @@ def joseph_raycast(
     # Plane index coordinates along the march axis: 0 .. X-1 (voxel centers).
     ks = jnp.arange(0, X, step, dtype=volume.dtype)  # (K,)
     d_ax = d[..., axis]  # (B, N)
-    alpha_k = (ks[None, None, :] - gs[..., axis]) / d_ax[..., None]  # (B, N, K)
+    alpha_k = (ks[None, None, :] - gs[..., axis : axis + 1]) / d_ax[..., None]  # (B, N, K)
 
     # Clip to the ray's slab interval (entry/exit of the whole volume).
     amin, amax = alpha_minmax(source, target, dims, voxel_shift, eps)

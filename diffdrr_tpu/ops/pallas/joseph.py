@@ -1,0 +1,640 @@
+"""Pallas TPU kernels: Joseph plane-marching DRR renderer, forward + backward.
+
+The TPU-native replacement for the reference's grid_sample+sort hot path
+(SURVEY §2, §7). Algorithm (see diffdrr_tpu/ops/joseph.py for the XLA
+reference implementation): march the volume's major axis plane by plane; at
+plane k each ray contributes ``bilinear(plane_k, y_k, z_k) * dalpha * L``.
+
+Kernel strategy — **no gathers anywhere**:
+
+  * Rays are grouped into square detector tiles (TR rays). At plane k, the
+    tile's samples live in a (KY, ZW) window of the plane, DMA'd HBM -> VMEM
+    with double buffering. Window starts are precomputed in XLA (min-reduce
+    over the tile), aligned to the HBM (8, 128) tile grid, and read from SMEM.
+  * In-plane bilinear interpolation factors into two tent-weight
+    contractions. The z-contraction runs on the MXU:
+        T1 (KY, TR) = window (KY, ZW) @ WzT (ZW, TR)
+    with the per-ray quadrature scale folded into WzT. The y-contraction is
+    a VPU multiply-reduce against WyT (KY, TR).
+  * Per-ray scalars (alpha, y, z, slab mask) live in (1, TR) lane-major
+    layout so every VPU op is full-width.
+
+Backward (analytic, per BASELINE.json north star): two additional kernels
+with the same loop structure —
+
+  * ``_bwd_rays``: d(out)/d(ray params) via tent-weight derivatives; two
+    MXU contractions per plane (T1 and T2 = window^T-contraction) feed VPU
+    chain rules accumulated per ray. Produces the pose/weights gradients.
+  * ``_bwd_vol``: d(out)/d(volume) via the transposed tent contraction
+    dWin = (Wy*g) @ Wz^T per (tile, plane), accumulated into the gradient
+    volume with read-modify-write DMA (windows of distinct planes are
+    disjoint; the grid is sequential, so RMW is race-free).
+
+The two backward kernels are independent pallas_calls, so XLA dead-code
+eliminates the volume-gradient pass in pose-only registration loops.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["joseph_pallas_raycast", "plan_tiles"]
+
+# Packed per-ray row indices (first axis of the rays array).
+_A = 0  # 1 / d_axis
+_B = 1  # -gs_axis / d_axis        (alpha_k = k * A + B)
+_GY = 2  # gs along window axis A ("y")
+_DY = 3  # d  along window axis A
+_GZ = 4  # gs along window axis B ("z")
+_DZ = 5  # d  along window axis B
+_SC = 6  # weight * |1/d_axis| * step  (full quadrature scale)
+_AMIN = 7
+_AMAX = 8
+_NROWS = 16  # padded for sublane alignment
+
+
+def _tent(u):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u))
+
+
+def _tent_d(u):
+    """d/du max(0, 1-|u|): -sign(u) on |u|<1 (subgradient 0 at kinks)."""
+    return jnp.where(jnp.abs(u) < 1.0, -jnp.sign(u), 0.0)
+
+
+def _ray_rows(rays_ref):
+    return {
+        "a": rays_ref[_A : _A + 1, :],
+        "b": rays_ref[_B : _B + 1, :],
+        "gy": rays_ref[_GY : _GY + 1, :],
+        "dy": rays_ref[_DY : _DY + 1, :],
+        "gz": rays_ref[_GZ : _GZ + 1, :],
+        "dz": rays_ref[_DZ : _DZ + 1, :],
+        "sc": rays_ref[_SC : _SC + 1, :],
+        "amin": rays_ref[_AMIN : _AMIN + 1, :],
+        "amax": rays_ref[_AMAX : _AMAX + 1, :],
+    }
+
+
+def _plane_geometry(r, p, step, starts_ref):
+    """Per-plane per-ray geometry shared by all three kernels."""
+    k = (p * step).astype(jnp.float32)
+    alpha = k * r["a"] + r["b"]  # (1, TR)
+    inslab = jnp.logical_and(alpha >= r["amin"], alpha <= r["amax"])
+    scale = jnp.where(inslab, r["sc"], 0.0)
+    y = r["gy"] + alpha * r["dy"]
+    z = r["gz"] + alpha * r["dz"]
+    ys = starts_ref[0, p, 0].astype(jnp.float32)
+    zs = starts_ref[0, p, 1].astype(jnp.float32)
+    return k, alpha, inslab, scale, y - ys, z - zs
+
+
+def _make_window_dma(vol_ref, starts_ref, win_buf, sems, step, ky, zw):
+    def window_dma(slot, plane_idx):
+        k = plane_idx * step
+        # Starts are pre-aligned to the HBM (8, 128) tile grid in the XLA
+        # precompute; the hints let Mosaic prove slice legality.
+        ys = pl.multiple_of(starts_ref[0, plane_idx, 0], 8)
+        zs = pl.multiple_of(starts_ref[0, plane_idx, 1], 128)
+        return pltpu.make_async_copy(
+            vol_ref.at[k, pl.ds(ys, ky), pl.ds(zs, zw)],
+            win_buf.at[slot],
+            sems.at[slot],
+        )
+
+    return window_dma
+
+
+# =============================================================================
+# Forward kernel
+# =============================================================================
+
+
+def _fwd_kernel(
+    starts_ref, rays_ref, vol_ref, out_ref, win_buf, acc_ref, sems,
+    *, n_planes, step, ky, zw,
+):
+    tr = rays_ref.shape[1]
+    r = _ray_rows(rays_ref)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (zw, tr), 0).astype(jnp.float32)
+    window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, step, ky, zw)
+
+    window_dma(0, 0).start()
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(p, _):
+        slot = jax.lax.rem(p, 2)
+
+        @pl.when(p + 1 < n_planes)
+        def _():
+            window_dma(jax.lax.rem(p + 1, 2), p + 1).start()
+
+        _, _, _, scale, ry, rz = _plane_geometry(r, p, step, starts_ref)
+        wz = _tent(rz - iota_z) * scale  # (ZW, TR)
+        wy = _tent(ry - iota_y)  # (KY, TR)
+
+        window_dma(slot, p).wait()
+        win = win_buf[slot]  # (KY, ZW)
+
+        t1 = jax.lax.dot_general(
+            win, wz, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (KY, TR)
+        acc_ref[...] += jnp.sum(t1 * wy, axis=0, keepdims=True)
+        return ()
+
+    jax.lax.fori_loop(0, n_planes, body, (), unroll=False)
+    out_ref[...] = acc_ref[...]
+
+
+# =============================================================================
+# Backward kernels
+# =============================================================================
+
+
+def _bwd_rays_kernel(
+    starts_ref, rays_ref, g_ref, vol_ref, dout_ref, win_buf, acc_ref, sems,
+    *, n_planes, step, ky, zw,
+):
+    """Accumulate d(loss)/d(packed ray rows) for one ray tile.
+
+    Chain rule per plane (out_i = sum_{m,n} wy win wz):
+      dry = sum_m tent'(ry - m) * T1[m]          (T1 = win @ (wz*scale))
+      drz = sum_n tent'(rz - n) * T2[n] * scale  (T2 = win^T-contraction @ wy)
+      dsc = sum_n tent(rz - n) * T2[n] * inslab
+      dgy += dry; ddy += dry*alpha; dgz += drz; ddz += drz*alpha
+      da  += (dry*dy + drz*dz) * k; db += (dry*dy + drz*dz)
+    g (the per-ray output cotangent) is constant across planes, so it is
+    applied once at the end.
+    """
+    tr = rays_ref.shape[1]
+    r = _ray_rows(rays_ref)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (zw, tr), 0).astype(jnp.float32)
+    window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, step, ky, zw)
+
+    window_dma(0, 0).start()
+    acc_ref[...] = jnp.zeros_like(acc_ref)  # (8, TR): a b gy dy gz dz sc pad
+
+    def body(p, _):
+        slot = jax.lax.rem(p, 2)
+
+        @pl.when(p + 1 < n_planes)
+        def _():
+            window_dma(jax.lax.rem(p + 1, 2), p + 1).start()
+
+        k, alpha, inslab, scale, ry, rz = _plane_geometry(r, p, step, starts_ref)
+        uy = ry - iota_y
+        uz = rz - iota_z
+        wy = _tent(uy)
+        wz0 = _tent(uz)
+        wzs = wz0 * scale
+
+        window_dma(slot, p).wait()
+        win = win_buf[slot]
+
+        t1 = jax.lax.dot_general(
+            win, wzs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (KY, TR)
+        t2 = jax.lax.dot_general(
+            win, wy, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (ZW, TR)
+
+        dry = jnp.sum(_tent_d(uy) * t1, axis=0, keepdims=True)  # (1, TR)
+        drz = jnp.sum(_tent_d(uz) * t2, axis=0, keepdims=True) * scale
+        dsc = jnp.sum(wz0 * t2, axis=0, keepdims=True)
+        dsc = jnp.where(inslab, dsc, 0.0)
+
+        dalpha = dry * r["dy"] + drz * r["dz"]
+        acc_ref[0:1, :] += dalpha * k
+        acc_ref[1:2, :] += dalpha
+        acc_ref[2:3, :] += dry
+        acc_ref[3:4, :] += dry * alpha
+        acc_ref[4:5, :] += drz
+        acc_ref[5:6, :] += drz * alpha
+        acc_ref[6:7, :] += dsc
+        return ()
+
+    jax.lax.fori_loop(0, n_planes, body, (), unroll=False)
+    g = g_ref[0:1, :]
+    dout_ref[...] = jnp.zeros_like(dout_ref)
+    dout_ref[_A : _A + 1, :] = acc_ref[0:1, :] * g
+    dout_ref[_B : _B + 1, :] = acc_ref[1:2, :] * g
+    dout_ref[_GY : _GY + 1, :] = acc_ref[2:3, :] * g
+    dout_ref[_DY : _DY + 1, :] = acc_ref[3:4, :] * g
+    dout_ref[_GZ : _GZ + 1, :] = acc_ref[4:5, :] * g
+    dout_ref[_DZ : _DZ + 1, :] = acc_ref[5:6, :] * g
+    dout_ref[_SC : _SC + 1, :] = acc_ref[6:7, :] * g
+
+
+def _bwd_vol_kernel(
+    starts_ref, rays_ref, g_ref, vol_ref, dvol_in_ref, dvol_ref,
+    win_buf, dwin_buf, sems, store_sems,
+    *, n_planes, step, ky, zw,
+):
+    """Accumulate d(loss)/d(volume): dWin = (wy * g) @ (wz*scale)^T per plane,
+    read-modify-written into the aliased gradient volume. Windows of distinct
+    planes are disjoint and the grid is sequential, so RMW is race-free."""
+    del vol_ref  # the forward volume is not needed for its gradient
+    tr = rays_ref.shape[1]
+    r = _ray_rows(rays_ref)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (zw, tr), 0).astype(jnp.float32)
+    g = g_ref[0:1, :]
+
+    def load_dma(slot, plane_idx):
+        k = plane_idx * step
+        ys = pl.multiple_of(starts_ref[0, plane_idx, 0], 8)
+        zs = pl.multiple_of(starts_ref[0, plane_idx, 1], 128)
+        return pltpu.make_async_copy(
+            dvol_ref.at[k, pl.ds(ys, ky), pl.ds(zs, zw)],
+            win_buf.at[slot],
+            sems.at[slot],
+        )
+
+    def store_dma(slot, plane_idx):
+        k = plane_idx * step
+        ys = pl.multiple_of(starts_ref[0, plane_idx, 0], 8)
+        zs = pl.multiple_of(starts_ref[0, plane_idx, 1], 128)
+        return pltpu.make_async_copy(
+            dwin_buf.at[slot],
+            dvol_ref.at[k, pl.ds(ys, ky), pl.ds(zs, zw)],
+            store_sems.at[slot],
+        )
+
+    load_dma(0, 0).start()
+
+    def body(p, _):
+        slot = jax.lax.rem(p, 2)
+
+        @pl.when(p + 1 < n_planes)
+        def _():
+            load_dma(jax.lax.rem(p + 1, 2), p + 1).start()
+
+        _, _, _, scale, ry, rz = _plane_geometry(r, p, step, starts_ref)
+        wyg = _tent(ry - iota_y) * g  # (KY, TR)
+        wzs = _tent(rz - iota_z) * scale  # (ZW, TR)
+        dwin = jax.lax.dot_general(
+            wyg, wzs, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (KY, ZW)
+
+        # Wait for the previous store on this buffer slot before reusing it.
+        @pl.when(p >= 2)
+        def _():
+            store_dma(slot, p - 2).wait()
+
+        load_dma(slot, p).wait()
+        dwin_buf[slot] = win_buf[slot] + dwin
+        store_dma(slot, p).start()
+        return ()
+
+    jax.lax.fori_loop(0, n_planes, body, (), unroll=False)
+
+    @pl.when(n_planes >= 2)
+    def _():
+        store_dma(jax.lax.rem(n_planes - 2, 2), n_planes - 2).wait()
+
+    @pl.when(n_planes >= 1)
+    def _():
+        store_dma(jax.lax.rem(n_planes - 1, 2), n_planes - 1).wait()
+
+
+# =============================================================================
+# XLA-side preparation (pure, differentiable where it must be)
+# =============================================================================
+
+
+def plan_tiles(height: int, width: int, tile: int) -> Tuple[np.ndarray, int, int]:
+    """Row-major pixel order -> square-tile order permutation.
+
+    Returns (perm, n_tiles, padded_n) where ``perm[i]`` is the original ray
+    index placed at tiled position i (padding positions get -1).
+    """
+    th = -(-height // tile)
+    tw = -(-width // tile)
+    n_tiles = th * tw
+    padded = n_tiles * tile * tile
+    perm = np.full(padded, -1, np.int64)
+    pos = 0
+    for bi in range(th):
+        for bj in range(tw):
+            for ii in range(tile):
+                for jj in range(tile):
+                    r, c = bi * tile + ii, bj * tile + jj
+                    if r < height and c < width:
+                        perm[pos] = r * width + c
+                    pos += 1
+    return perm, n_tiles, padded
+
+
+@functools.lru_cache(maxsize=64)
+def _plan_tiles_cached(height, width, tile):
+    return plan_tiles(height, width, tile)
+
+
+def _prep_vol(volume, perm3, ky, zw):
+    vol = jnp.transpose(volume, perm3)
+    Y, Z = vol.shape[1], vol.shape[2]
+    ypad = max(0, ky - Y)
+    zpad = max(0, zw - Z)
+    if ypad or zpad:
+        vol = jnp.pad(vol, ((0, 0), (0, ypad), (0, zpad)))
+    return vol
+
+
+def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
+               voxel_shift, step, eps):
+    """Pack per-ray kernel rows in detector-tile order. Differentiable."""
+    B, N, _ = target.shape
+    off = voxel_shift - 0.5
+    gs = jnp.broadcast_to(source, target.shape) + off
+    gt = target + off
+    d = gt - gs + eps
+    gs = gs[..., list(perm3)].reshape(B * N, 3)
+    d = d[..., list(perm3)].reshape(B * N, 3)
+    w = weights.reshape(B * N)
+
+    inv_dx = 1.0 / d[:, 0]
+    alpha_scale = jnp.abs(inv_dx) * step
+
+    dims_arr = jnp.asarray([dims[p] for p in perm3], gs.dtype)
+    s_un = gs - off
+    min_plane = -voxel_shift
+    max_plane = dims_arr + 1.0 - voxel_shift
+    a0 = (min_plane - s_un) / d
+    a1 = (max_plane - s_un) / d
+    amin = jnp.clip(jnp.max(jnp.minimum(a0, a1), axis=-1), 0.0, None)
+    amax = jnp.minimum(jnp.max(jnp.maximum(a0, a1), axis=-1), 1.0)
+
+    rays = jnp.zeros((_NROWS, B * N), jnp.float32)
+    rays = rays.at[_A].set(inv_dx)
+    rays = rays.at[_B].set(-gs[:, 0] * inv_dx)
+    rays = rays.at[_GY].set(gs[:, 1])
+    rays = rays.at[_DY].set(d[:, 1])
+    rays = rays.at[_GZ].set(gs[:, 2])
+    rays = rays.at[_DZ].set(d[:, 2])
+    rays = rays.at[_SC].set(w * alpha_scale)
+    rays = rays.at[_AMIN].set(jax.lax.stop_gradient(amin))
+    rays = rays.at[_AMAX].set(jax.lax.stop_gradient(amax))
+
+    perm, n_tiles_img, padded = _plan_tiles_cached(H, W, tile)
+    perm_j = jnp.asarray(perm)
+    safe = jnp.maximum(perm_j, 0)
+
+    def permute_one(rays_img):
+        out = rays_img[:, safe]
+        return jnp.where(perm_j[None, :] >= 0, out, 0.0)
+
+    rays_tiled = jnp.concatenate(
+        [permute_one(rays[:, b * N : (b + 1) * N]) for b in range(B)], axis=1
+    )
+    return rays_tiled
+
+
+def _compute_starts(rays_tiled, n_tiles, TR, n_planes, step, Y, Z, ky, zw):
+    """Per (tile, plane) aligned window starts. Non-differentiable."""
+    rt = jax.lax.stop_gradient(rays_tiled).reshape(_NROWS, n_tiles, TR)
+    a_t = rt[_A][:, :, None]
+    b_t = rt[_B][:, :, None]
+    ks3 = (jnp.arange(n_planes, dtype=jnp.float32) * step)[None, None, :]
+    alpha = a_t * ks3 + b_t
+    y_t = rt[_GY][:, :, None] + alpha * rt[_DY][:, :, None]
+    z_t = rt[_GZ][:, :, None] + alpha * rt[_DZ][:, :, None]
+    ins = (alpha >= rt[_AMIN][:, :, None]) & (alpha <= rt[_AMAX][:, :, None])
+    big = jnp.float32(1e9)
+    y_min = jnp.min(jnp.where(ins, y_t, big), axis=1)
+    z_min = jnp.min(jnp.where(ins, z_t, big), axis=1)
+    ystart = jnp.clip(jnp.floor(y_min) - 1, 0, Y - ky).astype(jnp.int32)
+    ystart = (ystart // 8) * 8
+    zstart = jnp.clip(jnp.floor(z_min) - 1, 0, Z - zw).astype(jnp.int32)
+    zstart = (zstart // 128) * 128
+    return jnp.stack([ystart, zstart], axis=-1)
+
+
+# =============================================================================
+# pallas_call wrappers + custom VJP
+# =============================================================================
+
+
+def _common_specs(n_planes, TR):
+    return [
+        pl.BlockSpec((1, n_planes, 2), lambda t: (t, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((_NROWS, TR), lambda t: (0, t), memory_space=pltpu.VMEM),
+    ]
+
+
+def _fwd_call(vol, rays_tiled, starts, *, n_tiles, TR, n_planes, step, ky, zw,
+              interpret):
+    kernel = functools.partial(
+        _fwd_kernel, n_planes=n_planes, step=step, ky=ky, zw=zw
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=_common_specs(n_planes, TR) + [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, TR), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_tiles * TR), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, ky, zw), jnp.float32),
+            pltpu.VMEM((1, TR), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(starts, rays_tiled, vol)
+
+
+def _bwd_rays_call(vol, rays_tiled, starts, g_tiled, *, n_tiles, TR, n_planes,
+                   step, ky, zw, interpret):
+    kernel = functools.partial(
+        _bwd_rays_kernel, n_planes=n_planes, step=step, ky=ky, zw=zw
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=_common_specs(n_planes, TR) + [
+            pl.BlockSpec((1, TR), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((_NROWS, TR), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_NROWS, n_tiles * TR), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, ky, zw), jnp.float32),
+            pltpu.VMEM((8, TR), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(starts, rays_tiled, g_tiled, vol)
+
+
+def _bwd_vol_call(vol, rays_tiled, starts, g_tiled, *, n_tiles, TR, n_planes,
+                  step, ky, zw, interpret):
+    kernel = functools.partial(
+        _bwd_vol_kernel, n_planes=n_planes, step=step, ky=ky, zw=zw
+    )
+    dvol_init = jnp.zeros_like(vol)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=_common_specs(n_planes, TR) + [
+            pl.BlockSpec((1, TR), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # fwd volume (unused)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # dvol accumulator (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(vol.shape, jnp.float32),
+        input_output_aliases={4: 0},
+        scratch_shapes=[
+            pltpu.VMEM((2, ky, zw), jnp.float32),
+            pltpu.VMEM((2, ky, zw), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(starts, rays_tiled, g_tiled, vol, dvol_init)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_joseph(dims, image_shape, axis, step, voxel_shift, eps, tile, ky, zw,
+                 interpret):
+    """Build the custom-VJP render function for one static configuration."""
+    H, W = image_shape
+    other = tuple(d for d in range(3) if d != axis)
+    perm3 = (axis,) + other
+    inv_perm3 = tuple(np.argsort(perm3))
+    X = dims[axis]
+    n_planes = -(-X // step)
+    perm, n_tiles_img, padded = _plan_tiles_cached(H, W, tile)
+    TR = tile * tile
+
+    def prepare(volume, source, target, weights):
+        B, N, _ = target.shape
+        vol = _prep_vol(volume, perm3, ky, zw)
+        rays_tiled = _prep_rays(
+            source, target, weights, perm3, dims, H, W, tile, voxel_shift,
+            step, eps,
+        )
+        n_tiles = B * n_tiles_img
+        starts = _compute_starts(
+            rays_tiled, n_tiles, TR, n_planes, step, vol.shape[1],
+            vol.shape[2], ky, zw,
+        )
+        return vol, rays_tiled, starts, n_tiles
+
+    def untile(out_tiled, B, N):
+        out_tiled = out_tiled.reshape(B, n_tiles_img * TR)
+        inv = np.zeros(N, np.int64)
+        inv[perm[perm >= 0]] = np.nonzero(perm >= 0)[0]
+        return out_tiled[:, jnp.asarray(inv)][:, None, :]
+
+    def tile_g(g, B, N):
+        perm_j = jnp.asarray(perm)
+        safe = jnp.maximum(perm_j, 0)
+        g2 = g.reshape(B, N)
+
+        def one(gb):
+            out = gb[safe]
+            return jnp.where(perm_j >= 0, out, 0.0)
+
+        return jnp.concatenate([one(g2[b]) for b in range(B)])[None, :]
+
+    @jax.custom_vjp
+    def render(volume, source, target, weights):
+        B, N, _ = target.shape
+        vol, rays_tiled, starts, n_tiles = prepare(volume, source, target, weights)
+        out = _fwd_call(
+            vol, rays_tiled, starts, n_tiles=n_tiles, TR=TR,
+            n_planes=n_planes, step=step, ky=ky, zw=zw, interpret=interpret,
+        )
+        return untile(out, B, N)
+
+    def render_fwd(volume, source, target, weights):
+        return render(volume, source, target, weights), (
+            volume, source, target, weights,
+        )
+
+    def render_bwd(res, g):
+        volume, source, target, weights = res
+        B, N, _ = target.shape
+        vol, rays_tiled, starts, n_tiles = prepare(volume, source, target, weights)
+        g_tiled = tile_g(g, B, N)
+
+        kw = dict(n_tiles=n_tiles, TR=TR, n_planes=n_planes, step=step,
+                  ky=ky, zw=zw, interpret=interpret)
+        d_rays = _bwd_rays_call(vol, rays_tiled, starts, g_tiled, **kw)
+        d_vol_p = _bwd_vol_call(vol, rays_tiled, starts, g_tiled, **kw)
+
+        # Map packed-row cotangents back through the (differentiable) ray
+        # packing, and the padded/permuted volume back to the original.
+        _, vjp_rays = jax.vjp(
+            lambda s, t, w: _prep_rays(
+                s, t, w, perm3, dims, H, W, tile, voxel_shift, step, eps
+            ),
+            source, target, weights,
+        )
+        d_source, d_target, d_weights = vjp_rays(d_rays)
+        Yp, Zp = vol.shape[1], vol.shape[2]
+        Y0, Z0 = dims[other[0]], dims[other[1]]
+        d_vol = jnp.transpose(d_vol_p[:, :Y0, :Z0], inv_perm3)
+        return d_vol, d_source, d_target, d_weights
+
+    render.defvjp(render_fwd, render_bwd)
+    return render
+
+
+def joseph_pallas_raycast(
+    volume: jnp.ndarray,
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+    *,
+    image_shape: Tuple[int, int],
+    axis: int = 0,
+    step: int = 1,
+    voxel_shift: float = 0.5,
+    eps: float = 1e-8,
+    tile: int = 16,
+    ky: int = 64,
+    zw: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Joseph plane-march render via Pallas TPU kernels, fwd + analytic bwd.
+
+    Args mirror :func:`diffdrr_tpu.ops.joseph.joseph_raycast`, plus:
+
+      image_shape: static detector (H, W) — rays must be in row-major detector
+        order (the DRR orchestrator's native layout).
+      tile: detector tile side in pixels (TR = tile**2 rays per kernel step).
+      ky / zw: static VMEM window extents along the two transverse volume
+        axes; ky is 8-aligned, zw 128-aligned (HBM tile grid). Must cover one
+        tile's in-plane footprint plus alignment slack (127 along z) — the
+        DRR orchestrator derives them from its geometry.
+
+    Returns (B, 1, N) line integrals. Differentiable w.r.t. volume, source,
+    target, and weights (analytic VJP kernels; the volume-gradient pass is
+    dead-code-eliminated when only pose gradients are required).
+    """
+    B, N, _ = target.shape
+    if weights is None:
+        weights = jnp.ones((B, 1, N), volume.dtype)
+    fn = _make_joseph(
+        volume.shape, tuple(image_shape), axis, step, voxel_shift, eps, tile,
+        ky, zw, interpret,
+    )
+    return fn(volume, source, target, weights)

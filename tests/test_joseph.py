@@ -1,0 +1,139 @@
+"""Joseph renderer tests: XLA vs Siddon, Pallas (interpret) vs XLA, gradients.
+
+The Pallas kernels run here in interpreter mode on CPU (the TPU-world analog
+of CUDA-flag skipping, SURVEY §4/§5); real-hardware runs are covered by
+bench.py and the `tpu`-marked test.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from diffdrr_tpu import DRR, load_example_ct, convert
+from diffdrr_tpu.ops.joseph import joseph_raycast, choose_march_axis
+from diffdrr_tpu.ops.siddon import siddon_raycast
+from diffdrr_tpu.ops.pallas.joseph import joseph_pallas_raycast
+
+
+@pytest.fixture(scope="module")
+def scene():
+    subject = load_example_ct(shape=(64, 64, 32))
+    drr = DRR(subject, sdd=800.0, height=32, delx=2.0)
+    # Generic (slightly perturbed) pose: keeps samples off the exact voxel
+    # grid where tent-weight subgradients are ambiguous.
+    rot = jnp.array([[0.013, np.pi / 2 + 0.017, -0.011]], jnp.float32)
+    trans = jnp.array([[3.0, 401.0, -2.0]], jnp.float32)
+    pose = convert(rot, trans, parameterization="euler_angles", convention="ZXY")
+    source, target = drr.detector(pose, None)
+    weights = jnp.linalg.norm(target - source, axis=-1)[:, None, :]
+    sv, tv = drr.affine_inverse(source), drr.affine_inverse(target)
+    ax = choose_march_axis(np.asarray(sv), np.asarray(tv))
+    return drr, sv, tv, weights, ax
+
+
+def test_joseph_close_to_siddon(scene):
+    drr, sv, tv, weights, ax = scene
+    sid = np.asarray(siddon_raycast(drr.density, sv, tv, weights))
+    jos = np.asarray(joseph_raycast(drr.density, sv, tv, weights, axis=ax))
+    assert np.corrcoef(sid.ravel(), jos.ravel())[0, 1] > 0.995
+    assert np.abs(jos - sid).mean() / (np.abs(sid).mean() + 1e-9) < 0.05
+
+
+def test_pallas_forward_parity(scene):
+    drr, sv, tv, weights, ax = scene
+    ref = np.asarray(joseph_raycast(drr.density, sv, tv, weights, axis=ax))
+    got = np.asarray(
+        joseph_pallas_raycast(
+            drr.density, sv, tv, weights, image_shape=(32, 32), axis=ax,
+            tile=16, ky=64, zw=256, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-3 * np.abs(ref).max())
+
+
+def test_pallas_gradient_parity(scene):
+    """Analytic VJP kernels vs JAX autodiff of the XLA implementation."""
+    drr, sv, tv, weights, ax = scene
+    pallas_fn = partial(
+        joseph_pallas_raycast, image_shape=(32, 32), axis=ax, tile=16, ky=64,
+        zw=256, interpret=True,
+    )
+    xla_fn = partial(joseph_raycast, axis=ax)
+
+    def loss(fn, vol, s, t, w):
+        return jnp.sum(jnp.sin(fn(vol, s, t, w) * 0.1))
+
+    for argnum, rtol in [(0, 1e-3), (1, 1e-4), (2, 1e-4), (3, 1e-4)]:
+        g_ref = jax.grad(partial(loss, xla_fn), argnums=argnum)(
+            drr.density, sv, tv, weights
+        )
+        g_got = jax.grad(partial(loss, pallas_fn), argnums=argnum)(
+            drr.density, sv, tv, weights
+        )
+        g_ref, g_got = np.asarray(g_ref), np.asarray(g_got)
+        np.testing.assert_allclose(
+            g_got, g_ref, atol=rtol * (np.abs(g_ref).max() + 1e-9)
+        ), argnum
+
+
+def test_pallas_batched_poses():
+    subject = load_example_ct(shape=(48, 48, 24))
+    drr = DRR(subject, sdd=600.0, height=16, delx=3.0)
+    rots = jnp.array(
+        [[0.01, np.pi / 2, 0.0], [0.05, np.pi / 2 + 0.04, 0.02]], jnp.float32
+    )
+    trans = jnp.array([[0.0, 300.0, 0.0], [2.0, 305.0, -1.0]], jnp.float32)
+    pose = convert(rots, trans, parameterization="euler_angles", convention="ZXY")
+    source, target = drr.detector(pose, None)
+    weights = jnp.linalg.norm(target - source, axis=-1)[:, None, :]
+    sv, tv = drr.affine_inverse(source), drr.affine_inverse(target)
+    ax = choose_march_axis(np.asarray(sv), np.asarray(tv))
+
+    ref = np.asarray(joseph_raycast(drr.density, sv, tv, weights, axis=ax))
+    got = np.asarray(
+        joseph_pallas_raycast(
+            drr.density, sv, tv, weights, image_shape=(16, 16), axis=ax,
+            tile=16, ky=64, zw=256, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-3 * np.abs(ref).max())
+    # the two poses differ
+    assert not np.allclose(got[0], got[1])
+
+
+def test_drr_joseph_renderer_auto_axis():
+    """DRR(renderer='joseph') auto-selects the march axis per pose (switch)."""
+    subject = load_example_ct(shape=(48, 48, 24))
+    drr_j = DRR(subject, sdd=600.0, height=16, delx=3.0, renderer="joseph")
+    drr_s = DRR(subject, sdd=600.0, height=16, delx=3.0)
+    rot = jnp.array([[0.02, np.pi / 2 + 0.03, 0.01]], jnp.float32)
+    trans = jnp.array([[0.0, 300.0, 0.0]], jnp.float32)
+    img_j = drr_j(rot, trans, parameterization="euler_angles", convention="ZXY")
+    img_s = drr_s(rot, trans, parameterization="euler_angles", convention="ZXY")
+    a, b = np.asarray(img_j).ravel(), np.asarray(img_s).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.99
+
+    # jit + pose gradient through the switch
+    def loss(rot):
+        return jnp.sum(
+            drr_j(rot, trans, parameterization="euler_angles", convention="ZXY")
+        )
+
+    g = jax.jit(jax.grad(loss))(rot)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+@pytest.mark.tpu
+def test_pallas_on_tpu():
+    subject = load_example_ct(shape=(128, 128, 64))
+    drr = DRR(subject, sdd=800.0, height=64, delx=2.0, renderer="joseph")
+    rot = jnp.array([[0.01, np.pi / 2, 0.0]], jnp.float32)
+    trans = jnp.array([[0.0, 400.0, 0.0]], jnp.float32)
+    img = jax.jit(
+        lambda r: drr(r, trans, parameterization="euler_angles", convention="ZXY")
+    )(rot)
+    assert np.isfinite(np.asarray(img)).all()
+    assert float(jnp.abs(img).sum()) > 0
