@@ -140,14 +140,34 @@ class DRR:
         # tile * pixel_spacing / voxel_spacing voxels in-plane (magnification
         # <= 1 toward the source), plus interpolation/alignment slack.
         spacing = np.sqrt((affine[0][:3, :3] ** 2).sum(axis=0))
-        self.pallas_tile = int(self.renderer_kwargs.pop("pallas_tile", 16))
-        fp = int(
-            np.ceil(self.pallas_tile * max(delx, dely) / float(spacing.min()) * 1.35)
-        ) + 6
-        self.pallas_ky = -(-(fp + 8) // 8) * 8
-        # Lane-dim DMA slices must be 128-aligned in both start and size;
-        # the window absorbs up to 127 voxels of start alignment loss.
-        self.pallas_zw = -(-(fp + 127) // 128) * 128
+        tile_override = self.renderer_kwargs.pop("pallas_tile", None)
+
+        def _windows(tile):
+            # A tile-pixel detector tile spans at most tile * pixel_spacing /
+            # voxel_spacing voxels in-plane (magnification <= 1 toward the
+            # source), plus interpolation/alignment slack.
+            fp = int(
+                np.ceil(tile * max(delx, dely) / float(spacing.min()) * 1.35)
+            ) + 6
+            ky = -(-(fp + 8) // 8) * 8
+            # Compute window (zc) must cover the footprint; the DMA window
+            # (zw) additionally absorbs up to 127 lanes of 128-alignment
+            # slack and must itself be a multiple of 128 (HBM lane tiling).
+            zc = max(64, -(-(fp + 2) // 64) * 64)
+            zw = -(-(zc + 127) // 128) * 128
+            return ky, zc, zw
+
+        if tile_override is not None:
+            self.pallas_tile = int(tile_override)
+        else:
+            # Largest tile whose VMEM windows stay within budget: bigger
+            # tiles amortize per-plane work, smaller tiles shrink windows.
+            for tile in (32, 16, 8):
+                self.pallas_tile = tile
+                if _windows(tile)[0] <= 192:
+                    break
+        self.pallas_ky, self.pallas_zc, self.pallas_zw = _windows(self.pallas_tile)
+        self.pallas_precision = self.renderer_kwargs.pop("precision", "f32")
         backend = jax.default_backend()
         self.use_pallas = backend in ("tpu", "axon") and self.pallas_ky <= 256
 
@@ -173,6 +193,8 @@ class DRR:
             self.pallas_tile,
             self.pallas_ky,
             self.pallas_zw,
+            self.pallas_zc,
+            self.pallas_precision,
             self.use_pallas,
         )
         return children, aux
@@ -200,6 +222,8 @@ class DRR:
             obj.pallas_tile,
             obj.pallas_ky,
             obj.pallas_zw,
+            obj.pallas_zc,
+            obj.pallas_precision,
             obj.use_pallas,
         ) = aux
         obj.subject = subject_static.value
@@ -316,6 +340,8 @@ class DRR:
                         tile=self.pallas_tile,
                         ky=self.pallas_ky,
                         zw=self.pallas_zw,
+                        zc=self.pallas_zc,
+                        precision=self.pallas_precision,
                     )
             else:
                 opts.pop("force_xla", None)

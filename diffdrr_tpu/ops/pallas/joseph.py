@@ -85,7 +85,12 @@ def _ray_rows(rays_ref):
 
 
 def _plane_geometry(r, p, step, starts_ref):
-    """Per-plane per-ray geometry shared by all three kernels."""
+    """Per-plane per-ray geometry shared by all three kernels.
+
+    ``rz`` is relative to the *true* (unaligned) window start: the aligned DMA
+    window is rotated by ``zshift`` lanes in the kernel so the compute window
+    starts at the true position (see ``_roll_window``).
+    """
     k = (p * step).astype(jnp.float32)
     alpha = k * r["a"] + r["b"]  # (1, TR)
     inslab = jnp.logical_and(alpha >= r["amin"], alpha <= r["amax"])
@@ -93,8 +98,37 @@ def _plane_geometry(r, p, step, starts_ref):
     y = r["gy"] + alpha * r["dy"]
     z = r["gz"] + alpha * r["dz"]
     ys = starts_ref[0, p, 0].astype(jnp.float32)
-    zs = starts_ref[0, p, 1].astype(jnp.float32)
+    zs = (starts_ref[0, p, 1] + starts_ref[0, p, 2]).astype(jnp.float32)
     return k, alpha, inslab, scale, y - ys, z - zs
+
+
+def _dot(a, b, dims, precision):
+    """MXU contraction with an explicit precision policy.
+
+    On TPU, float32 matmuls default to single-pass bf16 compute with f32
+    accumulation (XLA's DEFAULT precision) — "f32" and "bf16" therefore give
+    bit-identical results and differ only in operand-conversion overhead.
+    "highest" forces true f32 multiplication (multi-pass, ~3x slower matmul)
+    for strict parity against the CPU reference renderers.
+    """
+    if precision == "bf16":
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    prec = jax.lax.Precision.HIGHEST if precision == "highest" else None
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32, precision=prec
+    )
+
+
+def _roll_window(win, zshift, zc):
+    """Rotate the aligned (KY, ZW) window so the true z-start is lane 0, then
+    keep the first ``zc`` lanes — shrinks the MXU contraction from ZW (which
+    carries up to 127 lanes of DMA-alignment slack) down to the footprint."""
+    zw = win.shape[1]
+    if zc == zw:
+        return win
+    rolled = pltpu.roll(win, -zshift, axis=1)
+    return rolled[:, :zc]
 
 
 def _make_window_dma(vol_ref, starts_ref, win_buf, sems, step, ky, zw):
@@ -120,12 +154,12 @@ def _make_window_dma(vol_ref, starts_ref, win_buf, sems, step, ky, zw):
 
 def _fwd_kernel(
     starts_ref, rays_ref, vol_ref, out_ref, win_buf, acc_ref, sems,
-    *, n_planes, step, ky, zw,
+    *, n_planes, step, ky, zw, zc, precision,
 ):
     tr = rays_ref.shape[1]
     r = _ray_rows(rays_ref)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
-    iota_z = jax.lax.broadcasted_iota(jnp.int32, (zw, tr), 0).astype(jnp.float32)
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
     window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, step, ky, zw)
 
     window_dma(0, 0).start()
@@ -139,16 +173,13 @@ def _fwd_kernel(
             window_dma(jax.lax.rem(p + 1, 2), p + 1).start()
 
         _, _, _, scale, ry, rz = _plane_geometry(r, p, step, starts_ref)
-        wz = _tent(rz - iota_z) * scale  # (ZW, TR)
+        wz = _tent(rz - iota_z) * scale  # (ZC, TR)
         wy = _tent(ry - iota_y)  # (KY, TR)
 
         window_dma(slot, p).wait()
-        win = win_buf[slot]  # (KY, ZW)
+        win = _roll_window(win_buf[slot], starts_ref[0, p, 2], zc)  # (KY, ZC)
 
-        t1 = jax.lax.dot_general(
-            win, wz, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (KY, TR)
+        t1 = _dot(win, wz, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
         acc_ref[...] += jnp.sum(t1 * wy, axis=0, keepdims=True)
         return ()
 
@@ -163,7 +194,7 @@ def _fwd_kernel(
 
 def _bwd_rays_kernel(
     starts_ref, rays_ref, g_ref, vol_ref, dout_ref, win_buf, acc_ref, sems,
-    *, n_planes, step, ky, zw,
+    *, n_planes, step, ky, zw, zc, precision,
 ):
     """Accumulate d(loss)/d(packed ray rows) for one ray tile.
 
@@ -179,7 +210,7 @@ def _bwd_rays_kernel(
     tr = rays_ref.shape[1]
     r = _ray_rows(rays_ref)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
-    iota_z = jax.lax.broadcasted_iota(jnp.int32, (zw, tr), 0).astype(jnp.float32)
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
     window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, step, ky, zw)
 
     window_dma(0, 0).start()
@@ -200,16 +231,10 @@ def _bwd_rays_kernel(
         wzs = wz0 * scale
 
         window_dma(slot, p).wait()
-        win = win_buf[slot]
+        win = _roll_window(win_buf[slot], starts_ref[0, p, 2], zc)
 
-        t1 = jax.lax.dot_general(
-            win, wzs, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (KY, TR)
-        t2 = jax.lax.dot_general(
-            win, wy, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (ZW, TR)
+        t1 = _dot(win, wzs, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
+        t2 = _dot(win, wy, (((0,), (0,)), ((), ())), precision)  # (ZC, TR)
 
         dry = jnp.sum(_tent_d(uy) * t1, axis=0, keepdims=True)  # (1, TR)
         drz = jnp.sum(_tent_d(uz) * t2, axis=0, keepdims=True) * scale
@@ -241,7 +266,7 @@ def _bwd_rays_kernel(
 def _bwd_vol_kernel(
     starts_ref, rays_ref, g_ref, vol_ref, dvol_in_ref, dvol_ref,
     win_buf, dwin_buf, sems, store_sems,
-    *, n_planes, step, ky, zw,
+    *, n_planes, step, ky, zw, zc, precision,
 ):
     """Accumulate d(loss)/d(volume): dWin = (wy * g) @ (wz*scale)^T per plane,
     read-modify-written into the aliased gradient volume. Windows of distinct
@@ -250,7 +275,7 @@ def _bwd_vol_kernel(
     tr = rays_ref.shape[1]
     r = _ray_rows(rays_ref)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
-    iota_z = jax.lax.broadcasted_iota(jnp.int32, (zw, tr), 0).astype(jnp.float32)
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
     g = g_ref[0:1, :]
 
     def load_dma(slot, plane_idx):
@@ -284,11 +309,13 @@ def _bwd_vol_kernel(
 
         _, _, _, scale, ry, rz = _plane_geometry(r, p, step, starts_ref)
         wyg = _tent(ry - iota_y) * g  # (KY, TR)
-        wzs = _tent(rz - iota_z) * scale  # (ZW, TR)
-        dwin = jax.lax.dot_general(
-            wyg, wzs, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (KY, ZW)
+        wzs = _tent(rz - iota_z) * scale  # (ZC, TR)
+        dwin = _dot(wyg, wzs, (((1,), (1,)), ((), ())), precision)  # (KY, ZC)
+        if zc != zw:
+            # Un-roll: place the compact gradient window back at its true
+            # lane offset inside the aligned (KY, ZW) frame.
+            dwin = jnp.pad(dwin, ((0, 0), (0, zw - zc)))
+            dwin = pltpu.roll(dwin, starts_ref[0, p, 2], axis=1)
 
         # Wait for the previous store on this buffer slot before reusing it.
         @pl.when(p >= 2)
@@ -403,8 +430,14 @@ def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
     return rays_tiled
 
 
-def _compute_starts(rays_tiled, n_tiles, TR, n_planes, step, Y, Z, ky, zw):
-    """Per (tile, plane) aligned window starts. Non-differentiable."""
+def _compute_starts(rays_tiled, n_tiles, TR, n_planes, step, Y, Z, ky, zw, zc):
+    """Per (tile, plane) window placement. Non-differentiable.
+
+    Columns: [ystart (8-aligned), zstart_aligned (128-aligned), zshift, 0]
+    where the true z window is ``[zstart_aligned + zshift,  + zc)`` and the
+    DMA fetches ``[zstart_aligned, + zw)``. Coverage invariants:
+    zshift <= zw - zc and the footprint fits in (ky, zc).
+    """
     rt = jax.lax.stop_gradient(rays_tiled).reshape(_NROWS, n_tiles, TR)
     a_t = rt[_A][:, :, None]
     b_t = rt[_B][:, :, None]
@@ -418,9 +451,11 @@ def _compute_starts(rays_tiled, n_tiles, TR, n_planes, step, Y, Z, ky, zw):
     z_min = jnp.min(jnp.where(ins, z_t, big), axis=1)
     ystart = jnp.clip(jnp.floor(y_min) - 1, 0, Y - ky).astype(jnp.int32)
     ystart = (ystart // 8) * 8
-    zstart = jnp.clip(jnp.floor(z_min) - 1, 0, Z - zw).astype(jnp.int32)
-    zstart = (zstart // 128) * 128
-    return jnp.stack([ystart, zstart], axis=-1)
+    zdes = jnp.clip(jnp.floor(z_min) - 1, 0, max(0, Z - zc)).astype(jnp.int32)
+    zal = jnp.minimum((zdes // 128) * 128, max(0, Z - zw))
+    zshift = zdes - zal
+    zero = jnp.zeros_like(ystart)
+    return jnp.stack([ystart, zal, zshift, zero], axis=-1)
 
 
 # =============================================================================
@@ -430,16 +465,17 @@ def _compute_starts(rays_tiled, n_tiles, TR, n_planes, step, Y, Z, ky, zw):
 
 def _common_specs(n_planes, TR):
     return [
-        pl.BlockSpec((1, n_planes, 2), lambda t: (t, 0, 0),
+        pl.BlockSpec((1, n_planes, 4), lambda t: (t, 0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((_NROWS, TR), lambda t: (0, t), memory_space=pltpu.VMEM),
     ]
 
 
 def _fwd_call(vol, rays_tiled, starts, *, n_tiles, TR, n_planes, step, ky, zw,
-              interpret):
+              zc, precision, interpret):
     kernel = functools.partial(
-        _fwd_kernel, n_planes=n_planes, step=step, ky=ky, zw=zw
+        _fwd_kernel, n_planes=n_planes, step=step, ky=ky, zw=zw, zc=zc,
+        precision=precision,
     )
     return pl.pallas_call(
         kernel,
@@ -460,9 +496,10 @@ def _fwd_call(vol, rays_tiled, starts, *, n_tiles, TR, n_planes, step, ky, zw,
 
 
 def _bwd_rays_call(vol, rays_tiled, starts, g_tiled, *, n_tiles, TR, n_planes,
-                   step, ky, zw, interpret):
+                   step, ky, zw, zc, precision, interpret):
     kernel = functools.partial(
-        _bwd_rays_kernel, n_planes=n_planes, step=step, ky=ky, zw=zw
+        _bwd_rays_kernel, n_planes=n_planes, step=step, ky=ky, zw=zw, zc=zc,
+        precision=precision,
     )
     return pl.pallas_call(
         kernel,
@@ -484,9 +521,10 @@ def _bwd_rays_call(vol, rays_tiled, starts, g_tiled, *, n_tiles, TR, n_planes,
 
 
 def _bwd_vol_call(vol, rays_tiled, starts, g_tiled, *, n_tiles, TR, n_planes,
-                  step, ky, zw, interpret):
+                  step, ky, zw, zc, precision, interpret):
     kernel = functools.partial(
-        _bwd_vol_kernel, n_planes=n_planes, step=step, ky=ky, zw=zw
+        _bwd_vol_kernel, n_planes=n_planes, step=step, ky=ky, zw=zw, zc=zc,
+        precision=precision,
     )
     dvol_init = jnp.zeros_like(vol)
     return pl.pallas_call(
@@ -512,7 +550,7 @@ def _bwd_vol_call(vol, rays_tiled, starts, g_tiled, *, n_tiles, TR, n_planes,
 
 @functools.lru_cache(maxsize=64)
 def _make_joseph(dims, image_shape, axis, step, voxel_shift, eps, tile, ky, zw,
-                 interpret):
+                 zc, precision, interpret):
     """Build the custom-VJP render function for one static configuration."""
     H, W = image_shape
     other = tuple(d for d in range(3) if d != axis)
@@ -533,7 +571,7 @@ def _make_joseph(dims, image_shape, axis, step, voxel_shift, eps, tile, ky, zw,
         n_tiles = B * n_tiles_img
         starts = _compute_starts(
             rays_tiled, n_tiles, TR, n_planes, step, vol.shape[1],
-            vol.shape[2], ky, zw,
+            vol.shape[2], ky, zw, zc,
         )
         return vol, rays_tiled, starts, n_tiles
 
@@ -560,7 +598,8 @@ def _make_joseph(dims, image_shape, axis, step, voxel_shift, eps, tile, ky, zw,
         vol, rays_tiled, starts, n_tiles = prepare(volume, source, target, weights)
         out = _fwd_call(
             vol, rays_tiled, starts, n_tiles=n_tiles, TR=TR,
-            n_planes=n_planes, step=step, ky=ky, zw=zw, interpret=interpret,
+            n_planes=n_planes, step=step, ky=ky, zw=zw, zc=zc,
+            precision=precision, interpret=interpret,
         )
         return untile(out, B, N)
 
@@ -576,7 +615,8 @@ def _make_joseph(dims, image_shape, axis, step, voxel_shift, eps, tile, ky, zw,
         g_tiled = tile_g(g, B, N)
 
         kw = dict(n_tiles=n_tiles, TR=TR, n_planes=n_planes, step=step,
-                  ky=ky, zw=zw, interpret=interpret)
+                  ky=ky, zw=zw, zc=zc, precision=precision,
+                  interpret=interpret)
         d_rays = _bwd_rays_call(vol, rays_tiled, starts, g_tiled, **kw)
         d_vol_p = _bwd_vol_call(vol, rays_tiled, starts, g_tiled, **kw)
 
@@ -612,6 +652,8 @@ def joseph_pallas_raycast(
     tile: int = 16,
     ky: int = 64,
     zw: int = 256,
+    zc: Optional[int] = None,
+    precision: str = "f32",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Joseph plane-march render via Pallas TPU kernels, fwd + analytic bwd.
@@ -633,8 +675,10 @@ def joseph_pallas_raycast(
     B, N, _ = target.shape
     if weights is None:
         weights = jnp.ones((B, 1, N), volume.dtype)
+    if zc is None:
+        zc = zw - 128 if zw > 128 else zw
     fn = _make_joseph(
         volume.shape, tuple(image_shape), axis, step, voxel_shift, eps, tile,
-        ky, zw, interpret,
+        ky, zw, zc, precision, interpret,
     )
     return fn(volume, source, target, weights)
