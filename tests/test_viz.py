@@ -1,0 +1,144 @@
+"""Visualization tests: plots render, meshes extract (native + numpy paths)."""
+
+import numpy as np
+import pytest
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import jax.numpy as jnp
+
+from diffdrr_tpu import DRR, load_example_ct, convert
+from diffdrr_tpu.viz import (
+    Mesh,
+    plot_drr,
+    plot_mask,
+    plot_img_and_mask,
+    animate,
+    surface_nets,
+    _surface_nets_numpy,
+    drr_to_mesh,
+    labelmap_to_mesh,
+    img_to_mesh,
+    visualize_scene,
+)
+from diffdrr_tpu.native import native_available
+
+
+@pytest.fixture(scope="module")
+def scene():
+    subject = load_example_ct(shape=(48, 48, 24))
+    drr = DRR(subject, sdd=600.0, height=16, delx=4.0)
+    rot = jnp.asarray([[0.0, np.pi / 2, 0.0]], jnp.float32)
+    trans = jnp.asarray([[0.0, 300.0, 0.0]], jnp.float32)
+    img = drr(rot, trans, parameterization="euler_angles", convention="ZXY")
+    return subject, drr, rot, trans, img
+
+
+def _sphere(n=24, r=8.0):
+    x, y, z = np.meshgrid(*[np.arange(n)] * 3, indexing="ij")
+    c = (n - 1) / 2
+    return (r - np.sqrt((x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2)).astype(
+        np.float32
+    )
+
+
+def test_surface_nets_sphere_geometry():
+    vol = _sphere()
+    mesh = surface_nets(vol, level=0.0, smooth_iters=5)
+    assert mesh.n_vertices > 100
+    assert mesh.n_faces > 100
+    # Vertices lie near the r=8 sphere around the center.
+    c = (24 - 1) / 2
+    radii = np.linalg.norm(mesh.vertices - c, axis=1)
+    assert abs(np.mean(radii) - 8.0) < 0.75
+    assert np.std(radii) < 0.5
+    # Valid face indices.
+    assert mesh.faces.min() >= 0
+    assert mesh.faces.max() < mesh.n_vertices
+
+
+def test_numpy_fallback_close_to_native():
+    vol = _sphere(16, 5.0)
+    a = _surface_nets_numpy(vol, 0.0)
+    assert a.n_vertices > 0 and a.n_faces > 0
+    if native_available("surface_nets"):
+        b = surface_nets(vol, 0.0, smooth_iters=0)
+        # Same cells -> same vertex count; ordering matches (x, y, z) scan.
+        assert a.n_vertices == b.n_vertices
+        np.testing.assert_allclose(
+            np.sort(a.vertices.round(0), axis=0),
+            np.sort(b.vertices.round(0), axis=0),
+            atol=1.0,
+        )
+
+
+def test_drr_to_mesh_world_coords(scene):
+    subject, *_ = scene
+    mesh = drr_to_mesh(subject, threshold=300.0, smooth_iters=2)
+    assert mesh.n_faces > 0
+    # World coordinates: inside the (centered) volume bounds.
+    (xmin, xmax), (ymin, ymax), (zmin, zmax) = subject.volume.get_bounds()
+    assert mesh.vertices[:, 0].min() >= xmin - 1
+    assert mesh.vertices[:, 0].max() <= xmax + 1
+
+
+def test_labelmap_to_mesh(scene):
+    subject, *_ = scene
+    mesh = labelmap_to_mesh(subject, labels=4, smooth_iters=2)  # heart
+    assert mesh.n_faces > 0
+
+
+def test_mesh_save_obj(tmp_path, scene):
+    subject, *_ = scene
+    mesh = labelmap_to_mesh(subject, labels=5, smooth_iters=0)
+    out = tmp_path / "spine.obj"
+    mesh.save_obj(out)
+    text = out.read_text()
+    assert text.count("\nf ") + text.startswith("f ") == mesh.n_faces
+
+
+def test_plot_functions(scene):
+    subject, drr, rot, trans, img = scene
+    axs = plot_drr(np.asarray(img), title="test")
+    assert len(axs) == 1
+    chans = drr(rot, trans, parameterization="euler_angles", convention="ZXY",
+                mask_to_channels=True)
+    axs = plot_mask(np.asarray(chans))
+    assert len(axs) == 1
+    plot_img_and_mask(np.asarray(img), np.asarray(chans))
+
+
+def test_animate(tmp_path, scene):
+    import pandas as pd
+
+    subject, drr, rot, trans, img = scene
+    df = pd.DataFrame(
+        {
+            "r1": [0.0, 0.01],
+            "r2": [np.pi / 2, np.pi / 2 + 0.01],
+            "r3": [0.0, 0.0],
+            "tx": [0.0, 1.0],
+            "ty": [300.0, 300.0],
+            "tz": [0.0, 0.0],
+        }
+    )
+    out = animate(tmp_path / "run", df, drr, ground_truth=np.asarray(img)[0, 0],
+                  verbose=False)
+    assert out.exists()
+    assert out.stat().st_size > 1000
+
+
+def test_img_to_mesh_and_scene(scene):
+    subject, drr, rot, trans, img = scene
+    pose = convert(rot, trans, parameterization="euler_angles", convention="ZXY")
+    frustum, det, ray = img_to_mesh(drr, pose)
+    assert frustum.n_vertices == 5
+    # Frustum apex is the X-ray source.
+    source, _ = drr.detector(pose, None)
+    np.testing.assert_allclose(frustum.vertices[0], np.asarray(source)[0, 0],
+                               atol=1e-3)
+    mesh = labelmap_to_mesh(subject, labels=5, smooth_iters=0)
+    ax = visualize_scene(mesh, (frustum, det, ray))
+    assert ax is not None
