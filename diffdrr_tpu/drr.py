@@ -315,39 +315,55 @@ class DRR:
             opts["mask"] = self.mask
             opts["n_channels"] = self.n_channels
 
-        if self.renderer_name == "joseph":
+        # Pallas fast paths: full-frame Joseph / exact-Siddon renders on TPU.
+        use_pallas = (
+            self.use_pallas
+            and self.renderer_name in ("joseph", "siddon")
+            and not mask_to_channels
+            and self.patch_size is None
+            and self.detector.n_subsample is None
+            and not opts.pop("force_xla", False)
+        )
+        if self.renderer_name == "siddon" and use_pallas:
+            # The slab kernel implements the reference's default options;
+            # exotic combinations fall back to the sort-based XLA renderer.
+            use_pallas = (
+                opts.get("mode", "nearest") == "nearest"
+                and opts.get("reducefn", "sum") == "sum"
+                and not opts.get("align_corners", False)
+            )
+            if use_pallas and opts.get("stop_gradients_through_grid_sample", False):
+                # Nearest sampling already has zero value-gradients w.r.t.
+                # pose; this additionally blocks the density path.
+                density = jax.lax.stop_gradient(density)
+
+        if use_pallas:
             # March axis: static if the caller pinned one, otherwise selected
             # at runtime from the mean ray direction via lax.switch over the
             # three axis-specialized renders (jit-safe pose dependence).
             axis = opts.pop("axis", None)
-            use_pallas = (
-                self.use_pallas
-                and not mask_to_channels
-                and self.patch_size is None
-                and self.detector.n_subsample is None
-                and not opts.pop("force_xla", False)
+            common = dict(
+                image_shape=(self.detector.height, self.detector.width),
+                voxel_shift=self.voxel_shift,
+                tile=self.pallas_tile,
+                ky=self.pallas_ky,
+                zw=self.pallas_zw,
+                zc=self.pallas_zc,
+                precision=self.pallas_precision,
             )
-            if use_pallas:
+            if self.renderer_name == "joseph":
                 from .ops.pallas.joseph import joseph_pallas_raycast
 
                 def render_axis(ax):
                     return partial(
-                        joseph_pallas_raycast,
-                        image_shape=(self.detector.height, self.detector.width),
-                        axis=ax,
-                        step=opts.get("step", 1),
-                        voxel_shift=self.voxel_shift,
-                        tile=self.pallas_tile,
-                        ky=self.pallas_ky,
-                        zw=self.pallas_zw,
-                        zc=self.pallas_zc,
-                        precision=self.pallas_precision,
+                        joseph_pallas_raycast, axis=ax,
+                        step=opts.get("step", 1), **common,
                     )
             else:
-                opts.pop("force_xla", None)
+                from .ops.pallas.siddon import siddon_pallas_raycast
 
                 def render_axis(ax):
-                    return partial(renderer, axis=ax, **opts)
+                    return partial(siddon_pallas_raycast, axis=ax, **common)
 
             if axis is not None:
                 return render_axis(axis)(density, source, target, weights)
@@ -363,6 +379,17 @@ class DRR:
             )
 
         opts.pop("force_xla", None)
+        if self.renderer_name == "joseph":
+            axis = opts.pop("axis", None)
+            if axis is None:
+                d = jnp.mean(target - source, axis=(0, 1))
+                idx = jnp.argmax(jnp.abs(d))
+                return jax.lax.switch(
+                    idx,
+                    [partial(renderer, axis=a, **opts) for a in range(3)],
+                    density, source, target, weights,
+                )
+            opts["axis"] = axis
         if self.patch_size is None:
             return renderer(density, source, target, weights, **opts)
 

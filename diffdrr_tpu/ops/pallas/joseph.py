@@ -382,7 +382,7 @@ def _prep_vol(volume, perm3, ky, zw):
 
 
 def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
-               voxel_shift, step, eps):
+               voxel_shift, step, eps, quadrature="joseph"):
     """Pack per-ray kernel rows in detector-tile order. Differentiable."""
     B, N, _ = target.shape
     off = voxel_shift - 0.5
@@ -394,7 +394,9 @@ def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
     w = weights.reshape(B * N)
 
     inv_dx = 1.0 / d[:, 0]
-    alpha_scale = jnp.abs(inv_dx) * step
+    # Joseph folds the per-plane quadrature d(alpha) into the scale; Siddon
+    # segment lengths are already parametric, so only the ray weight rides.
+    alpha_scale = jnp.abs(inv_dx) * step if quadrature == "joseph" else 1.0
 
     dims_arr = jnp.asarray([dims[p] for p in perm3], gs.dtype)
     s_un = gs - off
@@ -449,9 +451,9 @@ def _compute_starts(rays_tiled, n_tiles, TR, n_planes, step, Y, Z, ky, zw, zc):
     big = jnp.float32(1e9)
     y_min = jnp.min(jnp.where(ins, y_t, big), axis=1)
     z_min = jnp.min(jnp.where(ins, z_t, big), axis=1)
-    ystart = jnp.clip(jnp.floor(y_min) - 1, 0, Y - ky).astype(jnp.int32)
+    ystart = jnp.clip(jnp.floor(y_min) - 2, 0, Y - ky).astype(jnp.int32)
     ystart = (ystart // 8) * 8
-    zdes = jnp.clip(jnp.floor(z_min) - 1, 0, max(0, Z - zc)).astype(jnp.int32)
+    zdes = jnp.clip(jnp.floor(z_min) - 2, 0, max(0, Z - zc)).astype(jnp.int32)
     zal = jnp.minimum((zdes // 128) * 128, max(0, Z - zw))
     zshift = zdes - zal
     zero = jnp.zeros_like(ystart)

@@ -1,0 +1,554 @@
+"""Pallas TPU kernels: exact Siddon ray integration via slab marching.
+
+TPU-native replacement for the reference's sort-based Siddon renderer
+(diffdrr/renderers.py:94-113). Instead of materializing and sorting every
+ray's plane crossings (O(D log D) per ray and the memory wall that forced the
+reference's ``patch_size``), this kernel marches the major axis one voxel
+slab at a time. Within a slab the ray crosses at most one transverse y-plane
+and one z-plane (the major axis has the largest |direction| component), so the
+slab contributes at most three exact sub-segments whose nearest-neighbor
+voxels lie in a 2x2 in-plane neighborhood:
+
+    contribution = sum_j len_j * V[s, y_j, z_j]
+                 = sum_{m,n} C[m,n] * V[s, m, n],   C 2x2 with <= 3 nonzeros
+
+Any 2x2 C splits column-wise into two rank-1 terms, so the kernel reuses the
+Joseph machinery (diffdrr_tpu/ops/pallas/joseph.py) with two one-hot
+z-contractions per slab instead of one tent contraction — still matmuls, no
+gathers, no sorts.
+
+Gradients match the reference's semantics: nearest-neighbor sampling has zero
+gradient through voxel *values* w.r.t. pose; pose gradients flow through the
+exact segment *lengths* (the alpha breakpoints), and density gradients through
+the segment-length weights. Both are computed analytically in backward
+kernels with the same slab loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .joseph import (
+    _NROWS,
+    _A,
+    _B,
+    _GY,
+    _DY,
+    _GZ,
+    _DZ,
+    _SC,
+    _AMIN,
+    _AMAX,
+    _common_specs,
+    _compute_starts,
+    _make_window_dma,
+    _plan_tiles_cached,
+    _prep_rays,
+    _prep_vol,
+    _ray_rows,
+    _roll_window,
+    _dot,
+)
+
+__all__ = ["siddon_pallas_raycast"]
+
+
+def _slab_segments(r, s, starts_ref):
+    """Exact Siddon decomposition of slab ``s`` for every ray in the tile.
+
+    Returns (C00, C01, C10, C11, ry0, rz0, aux) where C are segment-length
+    weights (ray weight folded in), (ry0, rz0) the window-relative base voxel
+    indices, and aux carries intermediates reused by the backward kernel.
+    All arrays are (1, TR).
+    """
+    a, b = r["a"], r["b"]
+    gy, dy, gz, dz = r["gy"], r["dy"], r["gz"], r["dz"]
+    w = r["sc"]
+    sf = s.astype(jnp.float32)
+
+    a1 = (sf - 0.5) * a + b
+    a2 = (sf + 0.5) * a + b
+    alo = jnp.minimum(a1, a2)
+    ahi = jnp.maximum(a1, a2)
+    alo = jnp.maximum(alo, r["amin"])
+    ahi = jnp.minimum(ahi, r["amax"])
+    ahi = jnp.maximum(ahi, alo)  # empty intersection -> zero-length slab
+
+    def crossings(g, d):
+        p_lo = g + alo * d
+        p_hi = g + ahi * d
+        m_lo = jnp.round(p_lo)
+        m_hi = jnp.round(p_hi)
+        base = jnp.minimum(m_lo, m_hi)
+        crossed = m_lo != m_hi
+        bound = jnp.maximum(m_lo, m_hi) - 0.5
+        ac = (bound - g) / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
+        t = jnp.where(crossed, jnp.clip(ac, alo, ahi), alo)
+        return base, t
+
+    y0, ty = crossings(gy, dy)
+    z0, tz = crossings(gz, dz)
+
+    t1 = jnp.minimum(ty, tz)
+    t2 = jnp.maximum(ty, tz)
+    len1 = t1 - alo
+    len2 = t2 - t1
+    len3 = ahi - t2
+    mids = [(alo + t1) * 0.5, (t1 + t2) * 0.5, (t2 + ahi) * 0.5]
+    lens = [len1, len2, len3]
+
+    C = [[jnp.zeros_like(alo) for _ in range(2)] for _ in range(2)]
+    seg_sel = []  # (iy, iz) one-hot floats per segment, for the backward
+    for mid, length in zip(mids, lens):
+        iy = jnp.round(gy + mid * dy) - y0  # 0.0 or 1.0
+        iz = jnp.round(gz + mid * dz) - z0
+        iy = jnp.clip(iy, 0.0, 1.0)
+        iz = jnp.clip(iz, 0.0, 1.0)
+        seg_sel.append((iy, iz))
+        lw = length * w
+        C[0][0] += lw * (1 - iy) * (1 - iz)
+        C[1][0] += lw * iy * (1 - iz)
+        C[0][1] += lw * (1 - iy) * iz
+        C[1][1] += lw * iy * iz
+
+    ys = starts_ref[0, s, 0].astype(jnp.float32)
+    zs = (starts_ref[0, s, 1] + starts_ref[0, s, 2]).astype(jnp.float32)
+    aux = dict(
+        alo=alo, ahi=ahi, a1=a1, a2=a2, ty=ty, tz=tz, t1=t1, t2=t2,
+        y0=y0, z0=z0, seg_sel=seg_sel, lens=lens,
+    )
+    return C, y0 - ys, z0 - zs, aux
+
+
+def _onehot(iota, pos):
+    return (jnp.abs(iota - pos) < 0.5).astype(jnp.float32)
+
+
+def _fwd_kernel(
+    starts_ref, rays_ref, vol_ref, out_ref, win_buf, acc_ref, sems,
+    *, n_planes, ky, zw, zc, precision,
+):
+    tr = rays_ref.shape[1]
+    r = _ray_rows(rays_ref)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
+    window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, 1, ky, zw)
+
+    window_dma(0, 0).start()
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(s, _):
+        slot = jax.lax.rem(s, 2)
+
+        @pl.when(s + 1 < n_planes)
+        def _():
+            window_dma(jax.lax.rem(s + 1, 2), s + 1).start()
+
+        C, ry0, rz0, _ = _slab_segments(r, s, starts_ref)
+        wzA = _onehot(iota_z, rz0)  # (ZC, TR)
+        wzB = _onehot(iota_z, rz0 + 1.0)
+        ey0 = _onehot(iota_y, ry0)  # (KY, TR)
+        ey1 = _onehot(iota_y, ry0 + 1.0)
+        wyA = C[0][0] * ey0 + C[1][0] * ey1
+        wyB = C[0][1] * ey0 + C[1][1] * ey1
+
+        window_dma(slot, s).wait()
+        win = _roll_window(win_buf[slot], starts_ref[0, s, 2], zc)
+
+        tA = _dot(win, wzA, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
+        tB = _dot(win, wzB, (((1,), (0,)), ((), ())), precision)
+        acc_ref[...] += jnp.sum(tA * wyA + tB * wyB, axis=0, keepdims=True)
+        return ()
+
+    jax.lax.fori_loop(0, n_planes, body, (), unroll=False)
+    out_ref[...] = acc_ref[...]
+
+
+def _bwd_rays_kernel(
+    starts_ref, rays_ref, g_ref, vol_ref, dout_ref, win_buf, acc_ref, sems,
+    *, n_planes, ky, zw, zc, precision,
+):
+    """d(loss)/d(packed rays) for exact Siddon.
+
+    out = w * sum_j len_j V_j with len breakpoints (alo, t1, t2, ahi):
+      d out/d t1 = w (V1 - V2); d/d t2 = w (V2 - V3)
+      d out/d alo = -w V1;      d/d ahi = +w V3
+    chained through the clip/min/max selections to the alpha parameters and
+    through them to (a, b, gy, dy, gz, dz). Voxel values are constant w.r.t.
+    pose under nearest sampling (zero gradient), matching the reference.
+    """
+    tr = rays_ref.shape[1]
+    r = _ray_rows(rays_ref)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
+    window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, 1, ky, zw)
+
+    window_dma(0, 0).start()
+    acc_ref[...] = jnp.zeros_like(acc_ref)  # rows: a b gy dy gz dz sc pad
+
+    def body(s, _):
+        slot = jax.lax.rem(s, 2)
+
+        @pl.when(s + 1 < n_planes)
+        def _():
+            window_dma(jax.lax.rem(s + 1, 2), s + 1).start()
+
+        C, ry0, rz0, aux = _slab_segments(r, s, starts_ref)
+        wzA = _onehot(iota_z, rz0)
+        wzB = _onehot(iota_z, rz0 + 1.0)
+        ey0 = _onehot(iota_y, ry0)
+        ey1 = _onehot(iota_y, ry0 + 1.0)
+
+        window_dma(slot, s).wait()
+        win = _roll_window(win_buf[slot], starts_ref[0, s, 2], zc)
+
+        tA = _dot(win, wzA, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
+        tB = _dot(win, wzB, (((1,), (0,)), ((), ())), precision)
+
+        # Corner values V[y0+i, z0+j] per ray.
+        v00 = jnp.sum(ey0 * tA, axis=0, keepdims=True)
+        v10 = jnp.sum(ey1 * tA, axis=0, keepdims=True)
+        v01 = jnp.sum(ey0 * tB, axis=0, keepdims=True)
+        v11 = jnp.sum(ey1 * tB, axis=0, keepdims=True)
+
+        # Per-segment values via the (iy, iz) selectors.
+        Vs = []
+        for iy, iz in aux["seg_sel"]:
+            Vs.append(
+                v00 * (1 - iy) * (1 - iz) + v10 * iy * (1 - iz)
+                + v01 * (1 - iy) * iz + v11 * iy * iz
+            )
+        V1, V2, V3 = Vs
+        w = r["sc"]
+
+        d_t1 = w * (V1 - V2)
+        d_t2 = w * (V2 - V3)
+        d_alo = -w * V1
+        d_ahi = w * V3
+
+        # t1 = min(ty, tz), t2 = max(ty, tz)
+        ty, tz = aux["ty"], aux["tz"]
+        ty_is_min = (ty <= tz).astype(jnp.float32)
+        d_ty = d_t1 * ty_is_min + d_t2 * (1 - ty_is_min)
+        d_tz = d_t1 * (1 - ty_is_min) + d_t2 * ty_is_min
+
+        # t = clip(alpha_cross, alo, ahi) (or alo when no crossing):
+        # pass-through to alpha_cross only on the interior branch; clipped
+        # branches route to alo / ahi.
+        alo, ahi = aux["alo"], aux["ahi"]
+
+        def route(t, d_t, g_pos, d_pos):
+            interior = ((t > alo) & (t < ahi)).astype(jnp.float32)
+            at_hi = (t >= ahi).astype(jnp.float32)
+            at_lo = 1.0 - interior - at_hi
+            # alpha_cross = (bound - g)/d: d/dg = -1/d; d/dd = -(alpha)/d
+            safe_d = jnp.where(jnp.abs(d_pos) < 1e-20, 1e-20, d_pos)
+            d_g = d_t * interior * (-1.0 / safe_d)
+            d_d = d_t * interior * (-t / safe_d)
+            return d_g, d_d, d_t * at_lo, d_t * at_hi
+
+        d_gy_c, d_dy_c, d_alo_y, d_ahi_y = route(ty, d_ty, r["gy"], r["dy"])
+        d_gz_c, d_dz_c, d_alo_z, d_ahi_z = route(tz, d_tz, r["gz"], r["dz"])
+        d_alo_tot = d_alo + d_alo_y + d_alo_z
+        d_ahi_tot = d_ahi + d_ahi_y + d_ahi_z
+
+        # alo/ahi from the slab planes a1, a2 (clips to amin/amax are
+        # non-differentiable boundaries -> dropped, matching stop_gradient
+        # on amin/amax in the packing).
+        a1, a2 = aux["a1"], aux["a2"]
+        lo_is_a1 = (a1 <= a2).astype(jnp.float32)
+        lo_interior = (aux["alo"] > r["amin"]).astype(jnp.float32)
+        hi_interior = (aux["ahi"] < r["amax"]).astype(jnp.float32)
+        sf = s.astype(jnp.float32)
+        # a1 = (s-0.5) a + b ; a2 = (s+0.5) a + b
+        d_a1 = d_alo_tot * lo_is_a1 * lo_interior + d_ahi_tot * (1 - lo_is_a1) * hi_interior
+        d_a2 = d_alo_tot * (1 - lo_is_a1) * lo_interior + d_ahi_tot * lo_is_a1 * hi_interior
+
+        acc_ref[0:1, :] += d_a1 * (sf - 0.5) + d_a2 * (sf + 0.5)
+        acc_ref[1:2, :] += d_a1 + d_a2
+        acc_ref[2:3, :] += d_gy_c
+        acc_ref[3:4, :] += d_dy_c
+        acc_ref[4:5, :] += d_gz_c
+        acc_ref[5:6, :] += d_dz_c
+        # d/dw: the plain segment-value sum.
+        acc_ref[6:7, :] += V1 * aux["lens"][0] + V2 * aux["lens"][1] + V3 * aux["lens"][2]
+        return ()
+
+    jax.lax.fori_loop(0, n_planes, body, (), unroll=False)
+    g = g_ref[0:1, :]
+    dout_ref[...] = jnp.zeros_like(dout_ref)
+    dout_ref[_A : _A + 1, :] = acc_ref[0:1, :] * g
+    dout_ref[_B : _B + 1, :] = acc_ref[1:2, :] * g
+    dout_ref[_GY : _GY + 1, :] = acc_ref[2:3, :] * g
+    dout_ref[_DY : _DY + 1, :] = acc_ref[3:4, :] * g
+    dout_ref[_GZ : _GZ + 1, :] = acc_ref[4:5, :] * g
+    dout_ref[_DZ : _DZ + 1, :] = acc_ref[5:6, :] * g
+    dout_ref[_SC : _SC + 1, :] = acc_ref[6:7, :] * g
+
+
+def _bwd_vol_kernel(
+    starts_ref, rays_ref, g_ref, vol_ref, dvol_in_ref, dvol_ref,
+    win_buf, dwin_buf, sems, store_sems,
+    *, n_planes, ky, zw, zc, precision,
+):
+    del vol_ref
+    tr = rays_ref.shape[1]
+    r = _ray_rows(rays_ref)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
+    g = g_ref[0:1, :]
+
+    def load_dma(slot, s):
+        ys = pl.multiple_of(starts_ref[0, s, 0], 8)
+        zs = pl.multiple_of(starts_ref[0, s, 1], 128)
+        return pltpu.make_async_copy(
+            dvol_ref.at[s, pl.ds(ys, ky), pl.ds(zs, zw)],
+            win_buf.at[slot], sems.at[slot],
+        )
+
+    def store_dma(slot, s):
+        ys = pl.multiple_of(starts_ref[0, s, 0], 8)
+        zs = pl.multiple_of(starts_ref[0, s, 1], 128)
+        return pltpu.make_async_copy(
+            dwin_buf.at[slot],
+            dvol_ref.at[s, pl.ds(ys, ky), pl.ds(zs, zw)],
+            store_sems.at[slot],
+        )
+
+    load_dma(0, 0).start()
+
+    def body(s, _):
+        slot = jax.lax.rem(s, 2)
+
+        @pl.when(s + 1 < n_planes)
+        def _():
+            load_dma(jax.lax.rem(s + 1, 2), s + 1).start()
+
+        C, ry0, rz0, _ = _slab_segments(r, s, starts_ref)
+        wzA = _onehot(iota_z, rz0)
+        wzB = _onehot(iota_z, rz0 + 1.0)
+        ey0 = _onehot(iota_y, ry0)
+        ey1 = _onehot(iota_y, ry0 + 1.0)
+        wyA = (C[0][0] * ey0 + C[1][0] * ey1) * g
+        wyB = (C[0][1] * ey0 + C[1][1] * ey1) * g
+
+        dwin = _dot(wyA, wzA, (((1,), (1,)), ((), ())), precision)
+        dwin += _dot(wyB, wzB, (((1,), (1,)), ((), ())), precision)
+        if zc != zw:
+            dwin = jnp.pad(dwin, ((0, 0), (0, zw - zc)))
+            dwin = pltpu.roll(dwin, starts_ref[0, s, 2], axis=1)
+
+        @pl.when(s >= 2)
+        def _():
+            store_dma(slot, s - 2).wait()
+
+        load_dma(slot, s).wait()
+        dwin_buf[slot] = win_buf[slot] + dwin
+        store_dma(slot, s).start()
+        return ()
+
+    jax.lax.fori_loop(0, n_planes, body, (), unroll=False)
+
+    @pl.when(n_planes >= 2)
+    def _():
+        store_dma(jax.lax.rem(n_planes - 2, 2), n_planes - 2).wait()
+
+    @pl.when(n_planes >= 1)
+    def _():
+        store_dma(jax.lax.rem(n_planes - 1, 2), n_planes - 1).wait()
+
+
+# =============================================================================
+# Wrapper + custom VJP
+# =============================================================================
+
+
+def _call(kernel_fn, extra_in, vol, rays_tiled, starts, *, n_tiles, TR,
+          n_planes, ky, zw, zc, precision, interpret, out_shape, out_block,
+          scratch, aliases=None):
+    kernel = functools.partial(
+        kernel_fn, n_planes=n_planes, ky=ky, zw=zw, zc=zc, precision=precision
+    )
+    in_specs = _common_specs(n_planes, TR) + extra_in
+    kwargs = dict(
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_block,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )
+    if aliases:
+        kwargs["input_output_aliases"] = aliases
+    return pl.pallas_call(kernel, **kwargs)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
+                 precision, interpret):
+    H, W = image_shape
+    other = tuple(d for d in range(3) if d != axis)
+    perm3 = (axis,) + other
+    inv_perm3 = tuple(np.argsort(perm3))
+    X = dims[axis]
+    n_planes = X
+    perm, n_tiles_img, padded = _plan_tiles_cached(H, W, tile)
+    TR = tile * tile
+
+    def prepare(volume, source, target, weights):
+        B, N, _ = target.shape
+        vol = _prep_vol(volume, perm3, ky, zw)
+        rays_tiled = _prep_rays(
+            source, target, weights, perm3, dims, H, W, tile, voxel_shift,
+            1, eps, quadrature="siddon",
+        )
+        n_tiles = B * n_tiles_img
+        starts = _compute_starts(
+            rays_tiled, n_tiles, TR, n_planes, 1, vol.shape[1], vol.shape[2],
+            ky, zw, zc,
+        )
+        return vol, rays_tiled, starts, n_tiles
+
+    def untile(out_tiled, B, N):
+        out_tiled = out_tiled.reshape(B, n_tiles_img * TR)
+        inv = np.zeros(N, np.int64)
+        inv[perm[perm >= 0]] = np.nonzero(perm >= 0)[0]
+        return out_tiled[:, jnp.asarray(inv)][:, None, :]
+
+    def tile_g(gc, B, N):
+        perm_j = jnp.asarray(perm)
+        safe = jnp.maximum(perm_j, 0)
+        g2 = gc.reshape(B, N)
+
+        def one(gb):
+            out = gb[safe]
+            return jnp.where(perm_j >= 0, out, 0.0)
+
+        return jnp.concatenate([one(g2[b]) for b in range(B)])[None, :]
+
+    kw_static = dict(TR=TR, n_planes=n_planes, ky=ky, zw=zw, zc=zc,
+                     precision=precision, interpret=interpret)
+
+    @jax.custom_vjp
+    def render(volume, source, target, weights):
+        B, N, _ = target.shape
+        vol, rays_tiled, starts, n_tiles = prepare(volume, source, target, weights)
+        out = _call(
+            _fwd_kernel, [pl.BlockSpec(memory_space=pltpu.ANY)],
+            vol, rays_tiled, starts, n_tiles=n_tiles,
+            out_shape=jax.ShapeDtypeStruct((1, n_tiles * TR), jnp.float32),
+            out_block=pl.BlockSpec((1, TR), lambda t: (0, t),
+                                   memory_space=pltpu.VMEM),
+            scratch=[
+                pltpu.VMEM((2, ky, zw), jnp.float32),
+                pltpu.VMEM((1, TR), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            **kw_static,
+        )(starts, rays_tiled, vol)
+        return untile(out, B, N)
+
+    def render_fwd(volume, source, target, weights):
+        return render(volume, source, target, weights), (
+            volume, source, target, weights,
+        )
+
+    def render_bwd(res, gc):
+        volume, source, target, weights = res
+        B, N, _ = target.shape
+        vol, rays_tiled, starts, n_tiles = prepare(volume, source, target, weights)
+        g_tiled = tile_g(gc, B, N)
+
+        d_rays = _call(
+            _bwd_rays_kernel,
+            [pl.BlockSpec((1, TR), lambda t: (0, t), memory_space=pltpu.VMEM),
+             pl.BlockSpec(memory_space=pltpu.ANY)],
+            vol, rays_tiled, starts, n_tiles=n_tiles,
+            out_shape=jax.ShapeDtypeStruct((_NROWS, n_tiles * TR), jnp.float32),
+            out_block=pl.BlockSpec((_NROWS, TR), lambda t: (0, t),
+                                   memory_space=pltpu.VMEM),
+            scratch=[
+                pltpu.VMEM((2, ky, zw), jnp.float32),
+                pltpu.VMEM((8, TR), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            **kw_static,
+        )(starts, rays_tiled, g_tiled, vol)
+
+        dvol_init = jnp.zeros_like(vol)
+        d_vol_p = _call(
+            _bwd_vol_kernel,
+            [pl.BlockSpec((1, TR), lambda t: (0, t), memory_space=pltpu.VMEM),
+             pl.BlockSpec(memory_space=pltpu.ANY),
+             pl.BlockSpec(memory_space=pltpu.ANY)],
+            vol, rays_tiled, starts, n_tiles=n_tiles,
+            out_shape=jax.ShapeDtypeStruct(vol.shape, jnp.float32),
+            out_block=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch=[
+                pltpu.VMEM((2, ky, zw), jnp.float32),
+                pltpu.VMEM((2, ky, zw), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            aliases={4: 0},
+            **kw_static,
+        )(starts, rays_tiled, g_tiled, vol, dvol_init)
+
+        _, vjp_rays = jax.vjp(
+            lambda s, t, w: _prep_rays(
+                s, t, w, perm3, dims, H, W, tile, voxel_shift, 1, eps,
+                quadrature="siddon",
+            ),
+            source, target, weights,
+        )
+        d_source, d_target, d_weights = vjp_rays(d_rays)
+        Y0, Z0 = dims[other[0]], dims[other[1]]
+        d_vol = jnp.transpose(d_vol_p[:, :Y0, :Z0], inv_perm3)
+        return d_vol, d_source, d_target, d_weights
+
+    render.defvjp(render_fwd, render_bwd)
+    return render
+
+
+def siddon_pallas_raycast(
+    volume: jnp.ndarray,
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+    *,
+    image_shape: Tuple[int, int],
+    axis: int = 0,
+    voxel_shift: float = 0.5,
+    eps: float = 1e-8,
+    tile: int = 16,
+    ky: int = 64,
+    zw: int = 256,
+    zc: Optional[int] = None,
+    precision: str = "f32",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact Siddon render via Pallas slab-march kernels, fwd + analytic bwd.
+
+    Equivalent line integrals to :func:`diffdrr_tpu.ops.siddon.siddon_raycast`
+    (the sort-based XLA oracle) for rays whose major direction component lies
+    along ``axis``; see the module docstring for the decomposition. Args
+    mirror :func:`diffdrr_tpu.ops.pallas.joseph.joseph_pallas_raycast`.
+    """
+    B, N, _ = target.shape
+    if weights is None:
+        weights = jnp.ones((B, 1, N), volume.dtype)
+    if zc is None:
+        zc = zw - 128 if zw > 128 else zw
+    fn = _make_siddon(
+        volume.shape, tuple(image_shape), axis, voxel_shift, eps, tile, ky,
+        zw, zc, precision, interpret,
+    )
+    return fn(volume, source, target, weights)

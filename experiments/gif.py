@@ -19,11 +19,15 @@ from diffdrr_tpu.viz import animate
 
 
 @click.command()
+@click.option("--cpu/--no-cpu", default=False, help="Force CPU execution")
 @click.argument("csv_path")
 @click.argument("out_path")
 @click.option("--height", default=128)
 @click.option("--volume-size", default=256)
-def main(csv_path, out_path, height, volume_size):
+def main(cpu, csv_path, out_path, height, volume_size):
+    if cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     df = pd.read_csv(csv_path)
     required = {"r1", "r2", "r3", "tx", "ty", "tz"}
     if not required.issubset(df.columns):

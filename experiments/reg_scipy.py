@@ -25,6 +25,7 @@ from diffdrr_tpu.metrics import DoubleGeodesicSE3, NormalizedCrossCorrelation2d
 
 
 @click.command()
+@click.option("--cpu/--no-cpu", default=False, help="Force CPU execution")
 @click.option("--n-runs", default=5)
 @click.option("--height", default=64)
 @click.option("--volume-size", default=128)
@@ -32,7 +33,10 @@ from diffdrr_tpu.metrics import DoubleGeodesicSE3, NormalizedCrossCorrelation2d
               type=click.Choice(["Nelder-Mead", "Powell"]))
 @click.option("--maxiter", default=300)
 @click.option("--seed", default=0)
-def main(n_runs, height, volume_size, method, maxiter, seed):
+def main(cpu, n_runs, height, volume_size, method, maxiter, seed):
+    if cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     subject = load_example_ct(
         shape=(volume_size, volume_size, max(16, volume_size // 4))
     )

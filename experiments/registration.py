@@ -35,6 +35,7 @@ from diffdrr_tpu.registration import make_registration_step
 
 
 @click.command()
+@click.option("--cpu/--no-cpu", default=False, help="Force CPU execution")
 @click.option("--n-runs", default=10, help="Number of random initializations")
 @click.option("--n-iters", default=250, help="Max iterations per run")
 @click.option("--height", default=128, help="DRR height/width in pixels")
@@ -46,8 +47,11 @@ from diffdrr_tpu.registration import make_registration_step
               type=click.Choice(["siddon", "trilinear", "joseph"]))
 @click.option("--outdir", default="experiments/results")
 @click.option("--seed", default=0)
-def main(n_runs, n_iters, height, volume_size, optimizer, lr_rotation,
+def main(cpu, n_runs, n_iters, height, volume_size, optimizer, lr_rotation,
          lr_translation, renderer, outdir, seed):
+    if cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     subject = load_example_ct(
         shape=(volume_size, volume_size, max(16, volume_size // 4))
     )

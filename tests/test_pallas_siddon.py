@@ -1,0 +1,86 @@
+"""Exact-Siddon Pallas kernel tests (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from diffdrr_tpu import DRR, load_example_ct, convert
+from diffdrr_tpu.ops.siddon import siddon_raycast
+from diffdrr_tpu.ops.joseph import choose_march_axis
+from diffdrr_tpu.ops.pallas.siddon import siddon_pallas_raycast
+
+
+@pytest.fixture(scope="module")
+def scene():
+    subject = load_example_ct(shape=(64, 64, 32))
+    drr = DRR(subject, sdd=800.0, height=32, delx=2.0)
+    rot = jnp.array([[0.013, np.pi / 2 + 0.017, -0.011]], jnp.float32)
+    trans = jnp.array([[3.0, 401.0, -2.0]], jnp.float32)
+    pose = convert(rot, trans, parameterization="euler_angles", convention="ZXY")
+    source, target = drr.detector(pose, None)
+    weights = jnp.linalg.norm(target - source, axis=-1)[:, None, :]
+    sv, tv = drr.affine_inverse(source), drr.affine_inverse(target)
+    ax = choose_march_axis(np.asarray(sv), np.asarray(tv))
+    return drr, sv, tv, weights, ax
+
+
+def _pallas(scene_ax, **kw):
+    return partial(
+        siddon_pallas_raycast, image_shape=(32, 32), axis=scene_ax, tile=16,
+        ky=64, zw=256, interpret=True, **kw,
+    )
+
+
+def test_forward_matches_sort_based_siddon(scene):
+    """The slab decomposition reproduces the sorted-crossings integral."""
+    drr, sv, tv, weights, ax = scene
+    ref = np.asarray(siddon_raycast(drr.density, sv, tv, weights))
+    got = np.asarray(_pallas(ax)(drr.density, sv, tv, weights))
+    np.testing.assert_allclose(got, ref, atol=1e-3 * np.abs(ref).max())
+
+
+def test_gradients_match_xla_autodiff(scene):
+    drr, sv, tv, weights, ax = scene
+    pal = _pallas(ax)
+
+    def loss(fn, vol, s, t, w):
+        return jnp.sum(jnp.sin(fn(vol, s, t, w) * 0.1))
+
+    for argnum in range(4):
+        g_ref = jax.grad(partial(loss, siddon_raycast), argnums=argnum)(
+            drr.density, sv, tv, weights
+        )
+        g_got = jax.grad(partial(loss, pal), argnums=argnum)(
+            drr.density, sv, tv, weights
+        )
+        g_ref, g_got = np.asarray(g_ref), np.asarray(g_got)
+        np.testing.assert_allclose(
+            g_got, g_ref, atol=1e-3 * (np.abs(g_ref).max() + 1e-9)
+        ), argnum
+
+
+def test_nearest_zero_value_gradient_semantics(scene):
+    """Pose gradients flow only through segment lengths, like the reference
+    (nearest-neighbor sampling has zero gradient through values)."""
+    drr, sv, tv, weights, ax = scene
+    pal = _pallas(ax)
+
+    def loss(vol):
+        return jnp.sum(pal(jax.lax.stop_gradient(vol) * 0 + vol, sv, tv, weights))
+
+    g = jax.grad(loss)(drr.density)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_drr_siddon_dispatch_fallbacks():
+    """Non-default options route to the XLA renderer (CPU always does)."""
+    subject = load_example_ct(shape=(32, 32, 16))
+    drr = DRR(subject, sdd=600.0, height=16, delx=3.0)  # siddon default
+    rot = jnp.array([[0.0, np.pi / 2, 0.0]], jnp.float32)
+    trans = jnp.array([[0.0, 300.0, 0.0]], jnp.float32)
+    img = drr(rot, trans, parameterization="euler_angles", convention="ZXY")
+    img_max = drr(rot, trans, parameterization="euler_angles", convention="ZXY",
+                  reducefn="max")
+    assert (np.asarray(img_max) <= np.asarray(img) + 1e-5).all()
