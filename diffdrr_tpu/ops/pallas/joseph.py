@@ -441,16 +441,29 @@ def _compute_starts(rays_tiled, n_tiles, TR, n_planes, step, Y, Z, ky, zw, zc):
     zshift <= zw - zc and the footprint fits in (ky, zc).
     """
     rt = jax.lax.stop_gradient(rays_tiled).reshape(_NROWS, n_tiles, TR)
-    a_t = rt[_A][:, :, None]
-    b_t = rt[_B][:, :, None]
-    ks3 = (jnp.arange(n_planes, dtype=jnp.float32) * step)[None, None, :]
-    alpha = a_t * ks3 + b_t
-    y_t = rt[_GY][:, :, None] + alpha * rt[_DY][:, :, None]
-    z_t = rt[_GZ][:, :, None] + alpha * rt[_DZ][:, :, None]
-    ins = (alpha >= rt[_AMIN][:, :, None]) & (alpha <= rt[_AMAX][:, :, None])
     big = jnp.float32(1e9)
-    y_min = jnp.min(jnp.where(ins, y_t, big), axis=1)
-    z_min = jnp.min(jnp.where(ins, z_t, big), axis=1)
+
+    # Scan over plane CHUNKS: materializing (tiles, TR, P) at once costs
+    # gigabytes for megapixel detectors, while one tiny step per plane is
+    # dispatch-bound; ~32-plane chunks balance both.
+    chunk = min(32, n_planes)
+    n_chunks = -(-n_planes // chunk)
+    ks = jnp.arange(n_chunks * chunk, dtype=jnp.float32) * step
+    ks_chunks = ks.reshape(n_chunks, chunk)
+
+    def chunk_minima(_, kc):
+        alpha = rt[_A][..., None] * kc[None, None, :] + rt[_B][..., None]
+        y_t = rt[_GY][..., None] + alpha * rt[_DY][..., None]
+        z_t = rt[_GZ][..., None] + alpha * rt[_DZ][..., None]
+        ins = (alpha >= rt[_AMIN][..., None]) & (alpha <= rt[_AMAX][..., None])
+        y_min_k = jnp.min(jnp.where(ins, y_t, big), axis=1)  # (tiles, chunk)
+        z_min_k = jnp.min(jnp.where(ins, z_t, big), axis=1)
+        return None, (y_min_k, z_min_k)
+
+    _, (y_min, z_min) = jax.lax.scan(chunk_minima, None, ks_chunks)
+    # (n_chunks, tiles, chunk) -> (tiles, P)
+    y_min = jnp.moveaxis(y_min, 0, 1).reshape(n_tiles, -1)[:, :n_planes]
+    z_min = jnp.moveaxis(z_min, 0, 1).reshape(n_tiles, -1)[:, :n_planes]
     ystart = jnp.clip(jnp.floor(y_min) - 2, 0, Y - ky).astype(jnp.int32)
     ystart = (ystart // 8) * 8
     zdes = jnp.clip(jnp.floor(z_min) - 2, 0, max(0, Z - zc)).astype(jnp.int32)
