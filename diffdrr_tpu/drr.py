@@ -142,12 +142,22 @@ class DRR:
         spacing = np.sqrt((affine[0][:3, :3] ** 2).sum(axis=0))
         tile_override = self.renderer_kwargs.pop("pallas_tile", None)
 
+        # Footprint scale: the static bound assumes worst-case magnification
+        # (samples at the detector plane, alpha = 1). Geometries that keep the
+        # volume near the isocenter only reach alpha ~ 0.5-0.7; lowering
+        # pallas_fp_scale shrinks windows (and cost) accordingly — at the
+        # caller's own risk of clipping peripheral samples.
+        fp_scale = float(self.renderer_kwargs.pop("pallas_fp_scale", 1.0))
+
         def _windows(tile):
             # A tile-pixel detector tile spans at most tile * pixel_spacing /
             # voxel_spacing voxels in-plane (magnification <= 1 toward the
             # source), plus interpolation/alignment slack.
             fp = int(
-                np.ceil(tile * max(delx, dely) / float(spacing.min()) * 1.35)
+                np.ceil(
+                    tile * max(delx, dely) / float(spacing.min()) * 1.35
+                    * fp_scale
+                )
             ) + 6
             ky = -(-(fp + 8) // 8) * 8
             # Compute window (zc) must cover the footprint; the DMA window
@@ -168,6 +178,12 @@ class DRR:
                     break
         self.pallas_ky, self.pallas_zc, self.pallas_zw = _windows(self.pallas_tile)
         self.pallas_precision = self.renderer_kwargs.pop("precision", "f32")
+        # bf16 storage halves the kernel's volume DMA traffic. Under the
+        # default precision policy the MXU computes in bf16 regardless, so
+        # results are bit-identical — it is a pure win and the default.
+        # True-f32 runs (precision="highest") keep f32 storage.
+        default_storage = None if self.pallas_precision == "highest" else "bf16"
+        self.pallas_storage = self.renderer_kwargs.pop("storage", default_storage)
         backend = jax.default_backend()
         self.use_pallas = backend in ("tpu", "axon") and self.pallas_ky <= 256
 
@@ -195,6 +211,7 @@ class DRR:
             self.pallas_zw,
             self.pallas_zc,
             self.pallas_precision,
+            self.pallas_storage,
             self.use_pallas,
         )
         return children, aux
@@ -224,6 +241,7 @@ class DRR:
             obj.pallas_zw,
             obj.pallas_zc,
             obj.pallas_precision,
+            obj.pallas_storage,
             obj.use_pallas,
         ) = aux
         obj.subject = subject_static.value
@@ -350,6 +368,7 @@ class DRR:
                 zw=self.pallas_zw,
                 zc=self.pallas_zc,
                 precision=self.pallas_precision,
+                storage=self.pallas_storage,
             )
             if self.renderer_name == "joseph":
                 from .ops.pallas.joseph import joseph_pallas_raycast

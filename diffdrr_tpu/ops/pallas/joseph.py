@@ -110,8 +110,14 @@ def _dot(a, b, dims, precision):
     bit-identical results and differ only in operand-conversion overhead.
     "highest" forces true f32 multiplication (multi-pass, ~3x slower matmul)
     for strict parity against the CPU reference renderers.
+
+    Mixed inputs (a bf16-stored volume window against f32 weights) are
+    unified to bf16 — matching what the DEFAULT policy computes anyway.
     """
-    if precision == "bf16":
+    if precision == "highest":
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+    elif precision == "bf16" or jnp.bfloat16 in (a.dtype, b.dtype):
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
     prec = jax.lax.Precision.HIGHEST if precision == "highest" else None
@@ -127,6 +133,10 @@ def _roll_window(win, zshift, zc):
     zw = win.shape[1]
     if zc == zw:
         return win
+    if win.dtype != jnp.float32:
+        # Mosaic's dynamic rotate requires 32-bit lanes; bf16-stored windows
+        # are upcast first (the DMA-traffic saving is already banked).
+        win = win.astype(jnp.float32)
     rolled = pltpu.roll(win, -zshift, axis=1)
     return rolled[:, :zc]
 
@@ -371,8 +381,10 @@ def _plan_tiles_cached(height, width, tile):
     return plan_tiles(height, width, tile)
 
 
-def _prep_vol(volume, perm3, ky, zw):
+def _prep_vol(volume, perm3, ky, zw, storage=None):
     vol = jnp.transpose(volume, perm3)
+    if storage == "bf16":
+        vol = vol.astype(jnp.bfloat16)
     Y, Z = vol.shape[1], vol.shape[2]
     ypad = max(0, ky - Y)
     zpad = max(0, zw - Z)
@@ -502,7 +514,7 @@ def _fwd_call(vol, rays_tiled, starts, *, n_tiles, TR, n_planes, step, ky, zw,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_tiles * TR), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, ky, zw), jnp.float32),
+            pltpu.VMEM((2, ky, zw), vol.dtype),
             pltpu.VMEM((1, TR), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -527,7 +539,7 @@ def _bwd_rays_call(vol, rays_tiled, starts, g_tiled, *, n_tiles, TR, n_planes,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((_NROWS, n_tiles * TR), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, ky, zw), jnp.float32),
+            pltpu.VMEM((2, ky, zw), vol.dtype),
             pltpu.VMEM((8, TR), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -541,7 +553,7 @@ def _bwd_vol_call(vol, rays_tiled, starts, g_tiled, *, n_tiles, TR, n_planes,
         _bwd_vol_kernel, n_planes=n_planes, step=step, ky=ky, zw=zw, zc=zc,
         precision=precision,
     )
-    dvol_init = jnp.zeros_like(vol)
+    dvol_init = jnp.zeros(vol.shape, jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -565,7 +577,7 @@ def _bwd_vol_call(vol, rays_tiled, starts, g_tiled, *, n_tiles, TR, n_planes,
 
 @functools.lru_cache(maxsize=64)
 def _make_joseph(dims, image_shape, axis, step, voxel_shift, eps, tile, ky, zw,
-                 zc, precision, interpret):
+                 zc, precision, storage, interpret):
     """Build the custom-VJP render function for one static configuration."""
     H, W = image_shape
     other = tuple(d for d in range(3) if d != axis)
@@ -578,7 +590,7 @@ def _make_joseph(dims, image_shape, axis, step, voxel_shift, eps, tile, ky, zw,
 
     def prepare(volume, source, target, weights):
         B, N, _ = target.shape
-        vol = _prep_vol(volume, perm3, ky, zw)
+        vol = _prep_vol(volume, perm3, ky, zw, storage)
         rays_tiled = _prep_rays(
             source, target, weights, perm3, dims, H, W, tile, voxel_shift,
             step, eps,
@@ -644,7 +656,6 @@ def _make_joseph(dims, image_shape, axis, step, voxel_shift, eps, tile, ky, zw,
             source, target, weights,
         )
         d_source, d_target, d_weights = vjp_rays(d_rays)
-        Yp, Zp = vol.shape[1], vol.shape[2]
         Y0, Z0 = dims[other[0]], dims[other[1]]
         d_vol = jnp.transpose(d_vol_p[:, :Y0, :Z0], inv_perm3)
         return d_vol, d_source, d_target, d_weights
@@ -669,6 +680,7 @@ def joseph_pallas_raycast(
     zw: int = 256,
     zc: Optional[int] = None,
     precision: str = "f32",
+    storage: Optional[str] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Joseph plane-march render via Pallas TPU kernels, fwd + analytic bwd.
@@ -694,6 +706,6 @@ def joseph_pallas_raycast(
         zc = zw - 128 if zw > 128 else zw
     fn = _make_joseph(
         volume.shape, tuple(image_shape), axis, step, voxel_shift, eps, tile,
-        ky, zw, zc, precision, interpret,
+        ky, zw, zc, precision, storage, interpret,
     )
     return fn(volume, source, target, weights)

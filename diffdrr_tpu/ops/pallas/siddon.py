@@ -157,15 +157,21 @@ def _fwd_kernel(
         wzB = _onehot(iota_z, rz0 + 1.0)
         ey0 = _onehot(iota_y, ry0)  # (KY, TR)
         ey1 = _onehot(iota_y, ry0 + 1.0)
-        wyA = C[0][0] * ey0 + C[1][0] * ey1
-        wyB = C[0][1] * ey0 + C[1][1] * ey1
 
         window_dma(slot, s).wait()
         win = _roll_window(win_buf[slot], starts_ref[0, s, 2], zc)
 
         tA = _dot(win, wzA, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
         tB = _dot(win, wzB, (((1,), (0,)), ((), ())), precision)
-        acc_ref[...] += jnp.sum(tA * wyA + tB * wyB, axis=0, keepdims=True)
+        # Corner values per ray, then a scalar-weighted combine — cheaper on
+        # the VPU than materializing C-weighted (KY, TR) matrices.
+        v00 = jnp.sum(ey0 * tA, axis=0, keepdims=True)
+        v10 = jnp.sum(ey1 * tA, axis=0, keepdims=True)
+        v01 = jnp.sum(ey0 * tB, axis=0, keepdims=True)
+        v11 = jnp.sum(ey1 * tB, axis=0, keepdims=True)
+        acc_ref[...] += (
+            C[0][0] * v00 + C[1][0] * v10 + C[0][1] * v01 + C[1][1] * v11
+        )
         return ()
 
     jax.lax.fori_loop(0, n_planes, body, (), unroll=False)
@@ -393,7 +399,7 @@ def _call(kernel_fn, extra_in, vol, rays_tiled, starts, *, n_tiles, TR,
 
 @functools.lru_cache(maxsize=64)
 def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
-                 precision, interpret):
+                 precision, storage, interpret):
     H, W = image_shape
     other = tuple(d for d in range(3) if d != axis)
     perm3 = (axis,) + other
@@ -405,7 +411,7 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
 
     def prepare(volume, source, target, weights):
         B, N, _ = target.shape
-        vol = _prep_vol(volume, perm3, ky, zw)
+        vol = _prep_vol(volume, perm3, ky, zw, storage)
         rays_tiled = _prep_rays(
             source, target, weights, perm3, dims, H, W, tile, voxel_shift,
             1, eps, quadrature="siddon",
@@ -448,7 +454,7 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
             out_block=pl.BlockSpec((1, TR), lambda t: (0, t),
                                    memory_space=pltpu.VMEM),
             scratch=[
-                pltpu.VMEM((2, ky, zw), jnp.float32),
+                pltpu.VMEM((2, ky, zw), vol.dtype),
                 pltpu.VMEM((1, TR), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -476,14 +482,14 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
             out_block=pl.BlockSpec((_NROWS, TR), lambda t: (0, t),
                                    memory_space=pltpu.VMEM),
             scratch=[
-                pltpu.VMEM((2, ky, zw), jnp.float32),
+                pltpu.VMEM((2, ky, zw), vol.dtype),
                 pltpu.VMEM((8, TR), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             **kw_static,
         )(starts, rays_tiled, g_tiled, vol)
 
-        dvol_init = jnp.zeros_like(vol)
+        dvol_init = jnp.zeros(vol.shape, jnp.float32)
         d_vol_p = _call(
             _bwd_vol_kernel,
             [pl.BlockSpec((1, TR), lambda t: (0, t), memory_space=pltpu.VMEM),
@@ -533,6 +539,7 @@ def siddon_pallas_raycast(
     zw: int = 256,
     zc: Optional[int] = None,
     precision: str = "f32",
+    storage: Optional[str] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Exact Siddon render via Pallas slab-march kernels, fwd + analytic bwd.
@@ -549,6 +556,6 @@ def siddon_pallas_raycast(
         zc = zw - 128 if zw > 128 else zw
     fn = _make_siddon(
         volume.shape, tuple(image_shape), axis, voxel_shift, eps, tile, ky,
-        zw, zc, precision, interpret,
+        zw, zc, precision, storage, interpret,
     )
     return fn(volume, source, target, weights)
