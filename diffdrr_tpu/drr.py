@@ -159,7 +159,9 @@ class DRR:
                     * fp_scale
                 )
             ) + 6
-            ky = -(-(fp + 8) // 8) * 8
+            # +2 placement slack, +15 start-alignment loss, 16-aligned size
+            # (covers the bf16 (16, 128) HBM tiling).
+            ky = -(-(fp + 18) // 16) * 16
             # Compute window (zc) must cover the footprint; the DMA window
             # (zw) additionally absorbs up to 127 lanes of 128-alignment
             # slack and must itself be a multiple of 128 (HBM lane tiling).
@@ -174,7 +176,7 @@ class DRR:
             # tiles amortize per-plane work, smaller tiles shrink windows.
             for tile in (32, 16, 8):
                 self.pallas_tile = tile
-                if _windows(tile)[0] <= 192:
+                if _windows(tile)[0] <= 208:
                     break
         self.pallas_ky, self.pallas_zc, self.pallas_zw = _windows(self.pallas_tile)
         self.pallas_precision = self.renderer_kwargs.pop("precision", "f32")

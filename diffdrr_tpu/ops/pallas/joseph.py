@@ -146,7 +146,7 @@ def _make_window_dma(vol_ref, starts_ref, win_buf, sems, step, ky, zw):
         k = plane_idx * step
         # Starts are pre-aligned to the HBM (8, 128) tile grid in the XLA
         # precompute; the hints let Mosaic prove slice legality.
-        ys = pl.multiple_of(starts_ref[0, plane_idx, 0], 8)
+        ys = pl.multiple_of(starts_ref[0, plane_idx, 0], 16)
         zs = pl.multiple_of(starts_ref[0, plane_idx, 1], 128)
         return pltpu.make_async_copy(
             vol_ref.at[k, pl.ds(ys, ky), pl.ds(zs, zw)],
@@ -290,7 +290,7 @@ def _bwd_vol_kernel(
 
     def load_dma(slot, plane_idx):
         k = plane_idx * step
-        ys = pl.multiple_of(starts_ref[0, plane_idx, 0], 8)
+        ys = pl.multiple_of(starts_ref[0, plane_idx, 0], 16)
         zs = pl.multiple_of(starts_ref[0, plane_idx, 1], 128)
         return pltpu.make_async_copy(
             dvol_ref.at[k, pl.ds(ys, ky), pl.ds(zs, zw)],
@@ -300,7 +300,7 @@ def _bwd_vol_kernel(
 
     def store_dma(slot, plane_idx):
         k = plane_idx * step
-        ys = pl.multiple_of(starts_ref[0, plane_idx, 0], 8)
+        ys = pl.multiple_of(starts_ref[0, plane_idx, 0], 16)
         zs = pl.multiple_of(starts_ref[0, plane_idx, 1], 128)
         return pltpu.make_async_copy(
             dwin_buf.at[slot],
@@ -477,7 +477,8 @@ def _compute_starts(rays_tiled, n_tiles, TR, n_planes, step, Y, Z, ky, zw, zc):
     y_min = jnp.moveaxis(y_min, 0, 1).reshape(n_tiles, -1)[:, :n_planes]
     z_min = jnp.moveaxis(z_min, 0, 1).reshape(n_tiles, -1)[:, :n_planes]
     ystart = jnp.clip(jnp.floor(y_min) - 2, 0, Y - ky).astype(jnp.int32)
-    ystart = (ystart // 8) * 8
+    # 16-alignment covers both f32 (8, 128) and bf16 (16, 128) HBM tilings.
+    ystart = (ystart // 16) * 16
     zdes = jnp.clip(jnp.floor(z_min) - 2, 0, max(0, Z - zc)).astype(jnp.int32)
     zal = jnp.minimum((zdes // 128) * 128, max(0, Z - zw))
     zshift = zdes - zal

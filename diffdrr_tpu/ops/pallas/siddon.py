@@ -313,7 +313,7 @@ def _bwd_vol_kernel(
     g = g_ref[0:1, :]
 
     def load_dma(slot, s):
-        ys = pl.multiple_of(starts_ref[0, s, 0], 8)
+        ys = pl.multiple_of(starts_ref[0, s, 0], 16)
         zs = pl.multiple_of(starts_ref[0, s, 1], 128)
         return pltpu.make_async_copy(
             dvol_ref.at[s, pl.ds(ys, ky), pl.ds(zs, zw)],
@@ -321,7 +321,7 @@ def _bwd_vol_kernel(
         )
 
     def store_dma(slot, s):
-        ys = pl.multiple_of(starts_ref[0, s, 0], 8)
+        ys = pl.multiple_of(starts_ref[0, s, 0], 16)
         zs = pl.multiple_of(starts_ref[0, s, 1], 128)
         return pltpu.make_async_copy(
             dwin_buf.at[slot],

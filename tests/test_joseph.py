@@ -137,3 +137,36 @@ def test_pallas_on_tpu():
     )(rot)
     assert np.isfinite(np.asarray(img)).all()
     assert float(jnp.abs(img).sum()) > 0
+
+
+def test_oblique_poses_no_window_clipping():
+    """Conservative window bounds must hold for oblique poses (up to ~30deg
+    off-axis): silent footprint clipping would show up as large errors."""
+    subject = load_example_ct(shape=(64, 64, 32))
+    drr = DRR(subject, sdd=800.0, height=32, delx=2.0)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        rot = jnp.asarray(
+            np.array([[0.0, np.pi / 2, 0.0]]) + rng.uniform(-0.5, 0.5, (1, 3)),
+            jnp.float32,
+        )
+        trans = jnp.asarray(
+            np.array([[0.0, 400.0, 0.0]]) + rng.uniform(-30, 30, (1, 3)),
+            jnp.float32,
+        )
+        pose = convert(rot, trans, parameterization="euler_angles",
+                       convention="ZXY")
+        source, target = drr.detector(pose, None)
+        weights = jnp.linalg.norm(target - source, axis=-1)[:, None, :]
+        sv, tv = drr.affine_inverse(source), drr.affine_inverse(target)
+        ax = choose_march_axis(np.asarray(sv), np.asarray(tv))
+        ref = np.asarray(joseph_raycast(drr.density, sv, tv, weights, axis=ax))
+        got = np.asarray(
+            joseph_pallas_raycast(
+                drr.density, sv, tv, weights, image_shape=(32, 32), axis=ax,
+                tile=drr.pallas_tile, ky=drr.pallas_ky, zw=drr.pallas_zw,
+                zc=drr.pallas_zc, interpret=True,
+            )
+        )
+        rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 1e-3, (i, rel)
