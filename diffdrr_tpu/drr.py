@@ -18,7 +18,7 @@ TPU-native reimplementation of the reference's ``DRR`` nn.Module
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

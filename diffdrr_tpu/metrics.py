@@ -11,13 +11,12 @@ reference's module API; everything is jit/grad-safe.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 
-from .pose import RigidTransform, convert, se3_log_map, so3_log_map
+from .pose import RigidTransform, so3_log_map
 
 __all__ = [
     "NormalizedCrossCorrelation2d",

@@ -6,7 +6,7 @@ Behavioral equivalents of the reference's module-level helpers
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple, Union
+from typing import Callable, Tuple, Union
 
 import jax.numpy as jnp
 

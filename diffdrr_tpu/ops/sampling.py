@@ -23,8 +23,6 @@ Semantics matched to the reference renderers' usage:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -34,7 +34,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..drr import DRR
 from ..ops._raygeom import reduce_img
-from ..ops.sampling import sample_volume
 from ..pose import convert
 
 __all__ = [

@@ -30,8 +30,7 @@ of a computation.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ TPU-native reimplementation of the reference's registration layer
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -260,3 +259,61 @@ try:
 
 except ImportError:  # pragma: no cover - flax is expected in this image
     PoseRegressor = None
+
+
+def optimize_multiscale(
+    drr: DRR,
+    target_img: jnp.ndarray,
+    rotation: jnp.ndarray,
+    translation: jnp.ndarray,
+    parameterization: str,
+    convention: Optional[str] = None,
+    scales: Tuple[float, ...] = (0.25, 0.5, 1.0),
+    n_iters_per_scale: int = 100,
+    **kwargs,
+) -> Tuple[jnp.ndarray, jnp.ndarray, list]:
+    """Coarse-to-fine registration over a detector resolution pyramid.
+
+    Renders and matches at downscaled detector resolutions first (large
+    capture range, cheap iterations), then refines at full resolution — the
+    standard strategy the reference supports manually via
+    ``rescale_detector_`` (reference: drr.py:258-266). ``target_img`` is
+    downsampled with area-averaging resizes at each scale.
+    """
+    import jax.image
+
+    trace = []
+    for scale in scales:
+        if scale == 1.0:
+            drr_s = drr
+            tgt = target_img
+        else:
+            # A rescaled detector: fewer, larger pixels over the same plane.
+            from .drr import DRR as _DRR
+
+            drr_s = _DRR(
+                drr.subject,
+                sdd=drr.detector.sdd,
+                height=max(8, int(drr.detector.height * scale)),
+                width=max(8, int(drr.detector.width * scale)),
+                delx=drr.detector.delx / scale,
+                dely=drr.detector.dely / scale,
+                x0=drr.detector.x0,
+                y0=drr.detector.y0,
+                renderer=drr.renderer_name,
+                voxel_shift=drr.voxel_shift,
+                reverse_x_axis=drr.detector.reverse_x_axis,
+                **drr.renderer_kwargs,
+            )
+            B, C = target_img.shape[:2]
+            tgt = jax.image.resize(
+                target_img,
+                (B, C, drr_s.detector.height, drr_s.detector.width),
+                method="linear",
+            )
+        rotation, translation, t = optimize(
+            drr_s, tgt, rotation, translation, parameterization, convention,
+            n_iters=n_iters_per_scale, **kwargs,
+        )
+        trace.append(t)
+    return rotation, translation, trace

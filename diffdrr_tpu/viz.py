@@ -12,7 +12,7 @@ from __future__ import annotations
 import ctypes
 import dataclasses
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 

@@ -116,3 +116,30 @@ def test_pose_regressor_trains_end_to_end():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert sum(float(np.abs(np.asarray(l)).sum()) for l in leaves) > 0
+
+
+def test_multiscale_registration_recovers_pose(setup):
+    from diffdrr_tpu.registration import optimize_multiscale
+
+    _, drr, rot_true, trans_true, target = setup
+    rot0 = rot_true + jnp.asarray([[0.05, -0.06, 0.04]], jnp.float32)
+    trans0 = trans_true + jnp.asarray([[8.0, -10.0, 7.0]], jnp.float32)
+
+    geo = DoubleGeodesicSE3(sdd=800.0)
+    pose_true = convert(
+        rot_true, trans_true, parameterization="euler_angles", convention="ZXY"
+    )
+
+    rot, trans, traces = optimize_multiscale(
+        drr, target, rot0, trans0, "euler_angles", "ZXY",
+        scales=(0.5, 1.0), n_iters_per_scale=90,
+        lr_rotation=2e-3, lr_translation=6e-1, n_points=200,
+    )
+    pose0 = convert(rot0, trans0, parameterization="euler_angles",
+                    convention="ZXY")
+    pose1 = convert(rot, trans, parameterization="euler_angles",
+                    convention="ZXY")
+    before = float(geo(pose_true, pose0)[2][0])
+    after = float(geo(pose_true, pose1)[2][0])
+    assert after < before * 0.35, (before, after)
+    assert len(traces) == 2
