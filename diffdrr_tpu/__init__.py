@@ -24,3 +24,19 @@ __all__ = [
     "Image",
     "transform_hu_to_density",
 ]
+
+
+_SUBMODULES = (
+    "data", "detector", "drr", "metrics", "nifti", "ops", "parallel",
+    "pose", "registration", "utils", "viz", "native",
+)
+
+
+def __getattr__(name):
+    """Lazy submodule access (``diffdrr_tpu.metrics`` etc.) without importing
+    heavy optional dependencies (matplotlib, flax) at package import."""
+    if name in _SUBMODULES:
+        import importlib
+
+        return importlib.import_module("." + name, __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
