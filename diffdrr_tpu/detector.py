@@ -88,11 +88,13 @@ class Detector:
         self.seed = seed
 
         if _arrays is not None:
-            self.source, self.target, self._reorient, self._calibration, self.subsamples = _arrays
+            (self.source, self.target, self.target_full, self._reorient,
+             self._calibration, self.subsamples) = _arrays
             return
 
         source, target = _canonical_plane(self.height, self.width, self.reverse_x_axis)
         self.subsamples = []
+        full = jnp.asarray(target)
         if n_subsample is not None:
             # Host-side random pixel subsampling (reference: detector.py:134-137).
             rng = np.random.default_rng(seed)
@@ -102,6 +104,9 @@ class Detector:
 
         self.source = jnp.asarray(source)
         self.target = jnp.asarray(target)
+        # Full canonical plane (same array as `target` when not subsampling):
+        # the Pallas sparse path renders the full frame and gathers.
+        self.target_full = full if n_subsample is not None else self.target
         self._reorient = jnp.asarray(reorient, jnp.float32)
         # 4x4 "calibration": scales the canonical plane to world units
         # (reference: detector.py:50-60).
@@ -117,7 +122,8 @@ class Detector:
 
     # --- pytree protocol ---
     def tree_flatten(self):
-        children = (self.source, self.target, self._reorient, self._calibration)
+        children = (self.source, self.target, self.target_full,
+                    self._reorient, self._calibration)
         aux = (
             self._sdd, self.height, self.width, self._delx, self._dely,
             self._x0, self._y0, self.n_subsample, self.reverse_x_axis,
@@ -129,11 +135,11 @@ class Detector:
     def tree_unflatten(cls, aux, children):
         (sdd, height, width, delx, dely, x0, y0, n_subsample, reverse_x_axis,
          seed, subsamples) = aux
-        source, target, reorient, calibration = children
+        source, target, target_full, reorient, calibration = children
         return cls(
             sdd, height, width, delx, dely, x0, y0, reorient,
             n_subsample, reverse_x_axis, seed=seed,
-            _arrays=(source, target, reorient, calibration,
+            _arrays=(source, target, target_full, reorient, calibration,
                      [list(s) for s in subsamples]),
         )
 
@@ -152,11 +158,16 @@ class Detector:
 
     @property
     def x0(self) -> float:
-        return self._x0
+        # The reference's property negates the calibration entry
+        # (diffdrr/detector.py:73-79); replicated so make_intrinsic_matrix,
+        # perspective_projection, and get_pinhole_camera match reference
+        # outputs for nonzero principal points. Constructors take the raw
+        # (un-negated) value — use ``_x0``/``_y0`` when re-building.
+        return -self._x0
 
     @property
     def y0(self) -> float:
-        return self._y0
+        return -self._y0
 
     @property
     def reorient(self) -> RigidTransform:
@@ -196,6 +207,19 @@ class Detector:
         return source, target
 
     forward = __call__
+
+    def full_plane_target(
+        self,
+        extrinsic: RigidTransform,
+        calibration: Optional[RigidTransform] = None,
+    ) -> jnp.ndarray:
+        """World-space targets for the FULL detector plane (ignoring any
+        pixel subsampling) — the Pallas sparse-render path."""
+        if calibration is None:
+            calibration = self.calibration
+        target = calibration(self.target_full)
+        pose = self.reorient.compose(extrinsic)
+        return pose(target)
 
 
 jax.tree_util.register_pytree_node(

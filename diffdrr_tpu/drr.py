@@ -11,8 +11,21 @@ TPU-native reimplementation of the reference's ``DRR`` nn.Module
     (reference: drr.py:191-194, SURVEY §3.4).
   * ``checkpoint_gradients`` maps to ``jax.checkpoint`` (rematerialization)
     instead of torch.utils.checkpoint (reference: drr.py:176-185).
-  * ``patch_size`` serial chunking is kept for memory parity (drr.py:217-225),
-    but the Pallas renderers make it largely unnecessary on TPU.
+  * On TPU every renderer runs Pallas kernels: exact Siddon and Joseph
+    plane-marching (ops/pallas/{siddon,joseph}.py) and the trilinear
+    ray-march (ops/pallas/raymarch.py). ``p_subsample`` renders the full
+    frame on the kernel and gathers the sparse rays (faster than a sparse
+    gather render on TPU); ``patch_size`` is a no-op on the kernel path
+    (memory is O(1) per ray).  ``force_xla=True`` escapes to the XLA oracles.
+
+Pallas validity note (Siddon): the slab-march kernel is exact only for rays
+whose transverse direction components satisfy ``max(|dy|,|dz|) <= |dx|``
+along the chosen march axis. Auto-dispatch picks the axis minimizing the
+worst-case per-ray ratio; for extreme cone beams (detector half-diagonal
+approaching ``sdd``) combined with oblique poses no axis may satisfy it —
+use ``DRR.pallas_ray_compatibility(pose)`` to check a pose set, and pass
+``force_xla=True`` (or ``renderer="joseph"``, which degrades gracefully)
+when it reports violations.
 """
 
 from __future__ import annotations
@@ -55,6 +68,12 @@ _RENDERERS = {
     "joseph": joseph_raycast,
 }
 
+# Cost-model constants, in MXU-MAC units (v5e-class: ~98 G MAC/ms, VPU
+# ~0.96 G elem/ms, HBM ~0.81 GB/ms). Used only for *ranking* tile choices.
+_COST_VPU_ELEM = 100.0
+_COST_DMA_BYTE = 120.0
+_COST_FIXED_STEP = 2000.0
+
 
 class DRR:
     """Computes differentiable digitally reconstructed radiographs.
@@ -81,6 +100,7 @@ class DRR:
         persistent: bool = True,  # kept for API parity; pytrees have no state_dict
         compile_renderer: bool = False,  # everything is jit-compiled; parity no-op
         checkpoint_gradients: bool = False,
+        cache_volume: bool = True,
         **renderer_kwargs,
     ):
         del persistent, compile_renderer
@@ -128,57 +148,7 @@ class DRR:
         self.patch_size = patch_size
         self.checkpoint_gradients = checkpoint_gradients
 
-        # --- Joseph / Pallas static planning (host-side, at construction) ---
-        # Default march axis: the volume axis most aligned with the principal
-        # ray direction at the identity pose (reorient . canonical +z mapped
-        # through the world->voxel affine). A per-call `axis` kwarg overrides.
-        reorient_R = np.asarray(subject.reorient, np.float64)[:3, :3]
-        affine_inv_R = np.asarray(np.linalg.inv(affine[0]), np.float64)[:3, :3]
-        principal = affine_inv_R @ reorient_R @ np.array([0.0, 0.0, 1.0])
-        self.march_axis = int(np.argmax(np.abs(principal)))
-        # Pallas window sizing: a `tile`-pixel detector tile spans at most
-        # tile * pixel_spacing / voxel_spacing voxels in-plane (magnification
-        # <= 1 toward the source), plus interpolation/alignment slack.
-        spacing = np.sqrt((affine[0][:3, :3] ** 2).sum(axis=0))
-        tile_override = self.renderer_kwargs.pop("pallas_tile", None)
-
-        # Footprint scale: the static bound assumes worst-case magnification
-        # (samples at the detector plane, alpha = 1). Geometries that keep the
-        # volume near the isocenter only reach alpha ~ 0.5-0.7; lowering
-        # pallas_fp_scale shrinks windows (and cost) accordingly — at the
-        # caller's own risk of clipping peripheral samples.
-        fp_scale = float(self.renderer_kwargs.pop("pallas_fp_scale", 1.0))
-
-        def _windows(tile):
-            # A tile-pixel detector tile spans at most tile * pixel_spacing /
-            # voxel_spacing voxels in-plane (magnification <= 1 toward the
-            # source), plus interpolation/alignment slack.
-            fp = int(
-                np.ceil(
-                    tile * max(delx, dely) / float(spacing.min()) * 1.35
-                    * fp_scale
-                )
-            ) + 6
-            # +2 placement slack, +15 start-alignment loss, 16-aligned size
-            # (covers the bf16 (16, 128) HBM tiling).
-            ky = -(-(fp + 18) // 16) * 16
-            # Compute window (zc) must cover the footprint; the DMA window
-            # (zw) additionally absorbs up to 127 lanes of 128-alignment
-            # slack and must itself be a multiple of 128 (HBM lane tiling).
-            zc = max(64, -(-(fp + 2) // 64) * 64)
-            zw = -(-(zc + 127) // 128) * 128
-            return ky, zc, zw
-
-        if tile_override is not None:
-            self.pallas_tile = int(tile_override)
-        else:
-            # Largest tile whose VMEM windows stay within budget: bigger
-            # tiles amortize per-plane work, smaller tiles shrink windows.
-            for tile in (32, 16, 8):
-                self.pallas_tile = tile
-                if _windows(tile)[0] <= 208:
-                    break
-        self.pallas_ky, self.pallas_zc, self.pallas_zw = _windows(self.pallas_tile)
+        # --- Pallas static planning (host-side, at construction) ---
         self.pallas_precision = self.renderer_kwargs.pop("precision", "f32")
         # bf16 storage halves the kernel's volume DMA traffic. Under the
         # default precision policy the MXU computes in bf16 regardless, so
@@ -186,8 +156,113 @@ class DRR:
         # True-f32 runs (precision="highest") keep f32 storage.
         default_storage = None if self.pallas_precision == "highest" else "bf16"
         self.pallas_storage = self.renderer_kwargs.pop("storage", default_storage)
+        # Footprint scale: the static window bound assumes worst-case
+        # magnification (samples at the detector plane, alpha = 1).
+        # Geometries that keep the volume near the isocenter only reach
+        # alpha ~ 0.5-0.7; lowering pallas_fp_scale shrinks windows (and
+        # cost) accordingly — at the caller's own risk of clipping
+        # peripheral samples.
+        self._fp_scale = float(self.renderer_kwargs.pop("pallas_fp_scale", 1.0))
+        self._tile_override = self.renderer_kwargs.pop("pallas_tile", None)
+        self._cache_volume = bool(cache_volume)
+        self._plan_pallas()
+
+    # ---------------------------------------------------------- pallas planning
+    def _plan_pallas(self) -> None:
+        """Plan per-axis kernel windows, tile sizes, march steps, and caches.
+
+        Re-run whenever the detector intrinsics change (``set_intrinsics_``).
+        """
+        affine = np.asarray(self._affine[0], np.float64)
+        spacing = np.sqrt((affine[:3, :3] ** 2).sum(axis=0))  # (3,) mm/voxel
+        dims = tuple(int(d) for d in self.density.shape)
+        pitch = max(self.detector.delx, self.detector.dely)
+        bytes_el = 2 if self.pallas_storage == "bf16" else 4
+        n_mm = 2 if self.renderer_name == "siddon" else 1
+        vpu_c = 5.0 if self.renderer_name == "siddon" else 3.0
+
+        # Default march axis: the volume axis most aligned with the principal
+        # ray direction at the identity pose. A per-call `axis` kwarg or the
+        # runtime worst-ray dispatch overrides.
+        reorient_R = np.asarray(self.subject.reorient, np.float64)[:3, :3]
+        affine_inv_R = np.linalg.inv(affine)[:3, :3]
+        principal = affine_inv_R @ reorient_R @ np.array([0.0, 0.0, 1.0])
+        self.march_axis = int(np.argmax(np.abs(principal)))
+
+        # Resolution-matched default march stride for the Joseph renderer:
+        # sample every `max(spacing)` mm along any axis, so a lateral march
+        # over a finely-spaced axis costs (and resolves) the same as the
+        # coarse principal axis (docs/STATUS.md round-1 item 7).
+        ref_sp = float(spacing.max())
+        self.joseph_steps = tuple(
+            max(1, int(round(ref_sp / float(spacing[a])))) for a in range(3)
+        )
+
+        def fp(tile, sp):
+            return int(np.ceil(tile * pitch / float(sp) * 1.35
+                               * self._fp_scale)) + 6
+
+        cfgs = []
+        for axis in range(3):
+            other = [d for d in range(3) if d != axis]
+            best = None
+            for tile in (8, 16, 32):
+                TR = tile * tile
+                # +2 placement slack, +15 start-alignment loss, 16-aligned
+                # size (covers the bf16 (16, 128) HBM tiling).
+                ky = -(-(fp(tile, spacing[other[0]]) + 18) // 16) * 16
+                # Compute window (zc) must cover the footprint; the DMA
+                # window (zw) additionally absorbs up to 127 lanes of
+                # 128-alignment slack and must itself be a multiple of 128.
+                zc = max(64, -(-(fp(tile, spacing[other[1]]) + 2) // 64) * 64)
+                zw = -(-(zc + 127) // 128) * 128
+                if ky > 256:
+                    continue
+                # Per-ray-per-plane cost model (MAC units): MXU contraction,
+                # tent/one-hot VPU builds, window DMA, per-step fixed cost.
+                mxu = n_mm * ky * zc * max(1.0, 128.0 / TR)
+                vpu = _COST_VPU_ELEM * (vpu_c * (ky + zc) + 2.0 * ky * zw / TR)
+                dma = _COST_DMA_BYTE * ky * zw * bytes_el / TR
+                fixed = _COST_FIXED_STEP / TR
+                cost = mxu + vpu + dma + fixed
+                if best is None or cost < best[0]:
+                    best = (cost, tile, ky, zw, zc)
+            if best is None:
+                cfgs.append(None)  # window cannot fit: no Pallas on this axis
+                continue
+            _, tile, ky, zw, zc = best
+            if self._tile_override is not None:
+                tile = int(self._tile_override)
+                ky = -(-(fp(tile, spacing[other[0]]) + 18) // 16) * 16
+                zc = max(64, -(-(fp(tile, spacing[other[1]]) + 2) // 64) * 64)
+                zw = -(-(zc + 127) // 128) * 128
+            cfgs.append((tile, ky, zw, zc))
+        self.pallas_cfg = tuple(cfgs)
+        self.pallas_ok = all(c is not None for c in cfgs)
+
+        # Static cone-beam bound: tan of the largest angle between any
+        # detector ray and the principal ray (pose-independent).
+        half_w = self.detector.width / 2 * self.detector.delx + abs(self.detector._x0)
+        half_h = self.detector.height / 2 * self.detector.dely + abs(self.detector._y0)
+        self.cone_tan = float(np.hypot(half_w, half_h) / self.detector.sdd)
+
+        # Per-axis prepped-volume caches (transposed/padded/cast, +1 plane
+        # for the fractional-stride trilinear mode). Only materialized on
+        # TPU-class backends — the XLA paths don't use them.
         backend = jax.default_backend()
-        self.use_pallas = backend in ("tpu", "axon") and self.pallas_ky <= 256
+        if (self._cache_volume and self.pallas_ok
+                and backend in ("tpu", "axon")):
+            from .ops.pallas.joseph import _prep_vol
+
+            pvols = []
+            for axis in range(3):
+                tile, ky, zw, zc = self.pallas_cfg[axis]
+                perm3 = (axis,) + tuple(d for d in range(3) if d != axis)
+                pvols.append(_prep_vol(self.density, perm3, ky, zw,
+                                       self.pallas_storage, xpad=1))
+            self._pvols = tuple(pvols)
+        else:
+            self._pvols = (None, None, None)
 
     # ------------------------------------------------------------------ pytree
     def tree_flatten(self):
@@ -197,6 +272,7 @@ class DRR:
             self._affine_inverse,
             self.density,
             self.mask,
+            self._pvols,
         )
         aux = (
             _Static(self.subject),
@@ -208,13 +284,15 @@ class DRR:
             self.patch_size,
             self.checkpoint_gradients,
             self.march_axis,
-            self.pallas_tile,
-            self.pallas_ky,
-            self.pallas_zw,
-            self.pallas_zc,
+            self.joseph_steps,
+            self.pallas_cfg,
+            self.pallas_ok,
             self.pallas_precision,
             self.pallas_storage,
-            self.use_pallas,
+            self.cone_tan,
+            self._fp_scale,
+            self._tile_override,
+            self._cache_volume,
         )
         return children, aux
 
@@ -227,6 +305,7 @@ class DRR:
             obj._affine_inverse,
             obj.density,
             obj.mask,
+            obj._pvols,
         ) = children
         (
             subject_static,
@@ -238,13 +317,15 @@ class DRR:
             obj.patch_size,
             obj.checkpoint_gradients,
             obj.march_axis,
-            obj.pallas_tile,
-            obj.pallas_ky,
-            obj.pallas_zw,
-            obj.pallas_zc,
+            obj.joseph_steps,
+            obj.pallas_cfg,
+            obj.pallas_ok,
             obj.pallas_precision,
             obj.pallas_storage,
-            obj.use_pallas,
+            obj.cone_tan,
+            obj._fp_scale,
+            obj._tile_override,
+            obj._cache_volume,
         ) = aux
         obj.subject = subject_static.value
         obj.renderer_kwargs = dict(renderer_kwargs)
@@ -261,11 +342,40 @@ class DRR:
 
     @property
     def n_patches(self) -> int:
-        return (self.detector.height * self.detector.width) // (self.patch_size**2)
+        return max(
+            1, (self.detector.height * self.detector.width) // (self.patch_size**2)
+        )
 
     @property
     def dtype(self):
         return self.density.dtype
+
+    def set_density(self, density: jnp.ndarray) -> None:
+        """Replace the stored density and refresh the kernel volume caches."""
+        self.density = jnp.asarray(density, jnp.float32)
+        self._plan_pallas()
+
+    def pallas_ray_compatibility(self, pose: RigidTransform):
+        """(best_axis, worst_ratio) for the exact-Siddon Pallas kernel.
+
+        ``worst_ratio`` is ``max over rays of max(|d_t|) / |d_axis|`` at the
+        best axis; values > 1 mean some rays violate the slab-march
+        assumption and the kernel's integrals are inexact for them — pass
+        ``force_xla=True`` (or use ``renderer="joseph"``). Host helper;
+        call outside jit.
+        """
+        source, target = self.detector(pose, None)
+        sv = self.affine_inverse(source)
+        tv = self.affine_inverse(target)
+        d = np.abs(np.asarray(tv - sv))  # (B, N, 3)
+        ratios = []
+        for axis in range(3):
+            other = [a for a in range(3) if a != axis]
+            r = np.max(np.maximum(d[..., other[0]], d[..., other[1]])
+                       / np.maximum(d[..., axis], 1e-12))
+            ratios.append(r)
+        best = int(np.argmin(ratios))
+        return best, float(ratios[best])
 
     # ----------------------------------------------------------------- forward
     def __call__(self, *args, **kwargs):
@@ -294,6 +404,16 @@ class DRR:
 
         source, target = self.detector(pose, calibration)
 
+        # Sparse rendering on the kernel path: render the full frame (the
+        # kernels are faster than a sparse gather render) and gather the
+        # sampled rays; gradients scatter back through the gather.
+        sparse_idx = None
+        if (self.detector.n_subsample is not None
+                and self._pallas_capable(mask_to_channels, kwargs)):
+            full_target = self.detector.full_plane_target(pose, calibration)
+            sparse_idx = jnp.asarray(self.detector.subsamples[-1], jnp.int32)
+            target = full_target
+
         render = self.render
         if self.checkpoint_gradients:
             render = jax.checkpoint(
@@ -305,7 +425,35 @@ class DRR:
                 self.density, source, target, mask_to_channels=mask_to_channels,
                 **kwargs,
             )
+        if sparse_idx is not None:
+            img = img[:, :, sparse_idx]
         return self.reshape_transform(img, batch_size=len(pose))
+
+    def _pallas_capable(self, mask_to_channels: bool, opts: dict) -> bool:
+        """Static part of the Pallas dispatch decision."""
+        if not self.pallas_ok or jax.default_backend() not in ("tpu", "axon"):
+            return False
+        if opts.get("force_xla", False):
+            return False
+        if mask_to_channels:
+            return False
+        if self.renderer_name == "siddon":
+            return (
+                opts.get("mode", "nearest") == "nearest"
+                and opts.get("reducefn", "sum") == "sum"
+                and not opts.get("align_corners", False)
+            )
+        if self.renderer_name == "trilinear":
+            return (
+                opts.get("mode", "trilinear") == "trilinear"
+                and opts.get("reducefn", "sum") == "sum"
+                and not opts.get("align_corners", False)
+                and opts.get("alphamin") is None
+                and opts.get("alphamax") is None
+            )
+        if self.renderer_name == "joseph":
+            return opts.get("reducefn", "sum") == "sum"
+        return False
 
     def render(
         self,
@@ -335,61 +483,80 @@ class DRR:
             opts["mask"] = self.mask
             opts["n_channels"] = self.n_channels
 
-        # Pallas fast paths: full-frame Joseph / exact-Siddon renders on TPU.
+        # Pallas fast paths: full-frame kernel renders on TPU. The detector
+        # shape must match the ray count (full-frame rays in row-major
+        # order); `forward` guarantees this, direct `render` callers with
+        # subsampled rays fall back to XLA.
+        H, W = self.detector.height, self.detector.width
         use_pallas = (
-            self.use_pallas
-            and self.renderer_name in ("joseph", "siddon")
-            and not mask_to_channels
-            and self.patch_size is None
-            and self.detector.n_subsample is None
-            and not opts.pop("force_xla", False)
+            self._pallas_capable(mask_to_channels, opts)
+            and target.shape[1] == H * W
         )
-        if self.renderer_name == "siddon" and use_pallas:
-            # The slab kernel implements the reference's default options;
-            # exotic combinations fall back to the sort-based XLA renderer.
-            use_pallas = (
-                opts.get("mode", "nearest") == "nearest"
-                and opts.get("reducefn", "sum") == "sum"
-                and not opts.get("align_corners", False)
-            )
-            if use_pallas and opts.get("stop_gradients_through_grid_sample", False):
-                # Nearest sampling already has zero value-gradients w.r.t.
-                # pose; this additionally blocks the density path.
-                density = jax.lax.stop_gradient(density)
+        opts.pop("force_xla", None)
+
+        if use_pallas and self.renderer_name == "siddon" and opts.pop(
+            "stop_gradients_through_grid_sample", False
+        ):
+            # Nearest sampling already has zero value-gradients w.r.t.
+            # pose; this additionally blocks the density path.
+            density = jax.lax.stop_gradient(density)
 
         if use_pallas:
             # March axis: static if the caller pinned one, otherwise selected
-            # at runtime from the mean ray direction via lax.switch over the
-            # three axis-specialized renders (jit-safe pose dependence).
+            # at runtime by the worst-ray alignment criterion via lax.switch
+            # over the three axis-specialized renders (jit-safe pose
+            # dependence; minimizes the Siddon slab-validity violation and
+            # the Joseph quadrature skew).
             axis = opts.pop("axis", None)
-            common = dict(
-                image_shape=(self.detector.height, self.detector.width),
-                voxel_shift=self.voxel_shift,
-                tile=self.pallas_tile,
-                ky=self.pallas_ky,
-                zw=self.pallas_zw,
-                zc=self.pallas_zc,
-                precision=self.pallas_precision,
-                storage=self.pallas_storage,
-            )
-            if self.renderer_name == "joseph":
-                from .ops.pallas.joseph import joseph_pallas_raycast
+            step = opts.pop("step", None)
+            n_points = opts.pop("n_points", 500)
+            allow_oversample = opts.pop("allow_oversample", False)
+            # Use the cached prepped volume only for the stored density (the
+            # reconstruction seam passes a free variable — never cached).
+            cached = density is self.density
 
-                def render_axis(ax):
-                    return partial(
-                        joseph_pallas_raycast, axis=ax,
-                        step=opts.get("step", 1), **common,
-                    )
-            else:
+            def render_axis(ax):
+                tile, ky, zw, zc = self.pallas_cfg[ax]
+                common = dict(
+                    image_shape=(H, W),
+                    voxel_shift=self.voxel_shift,
+                    tile=tile, ky=ky, zw=zw, zc=zc,
+                    precision=self.pallas_precision,
+                    storage=self.pallas_storage,
+                    prepped_vol=self._pvols[ax] if cached else None,
+                )
+                if self.renderer_name == "joseph":
+                    from .ops.pallas.joseph import joseph_pallas_raycast
+
+                    ax_step = step if step is not None else self.joseph_steps[ax]
+                    return partial(joseph_pallas_raycast, axis=ax,
+                                   step=ax_step, **common)
+                if self.renderer_name == "trilinear":
+                    from .ops.pallas.raymarch import raymarch_pallas_raycast
+
+                    return partial(raymarch_pallas_raycast, axis=ax,
+                                   n_points=n_points,
+                                   allow_oversample=allow_oversample, **common)
                 from .ops.pallas.siddon import siddon_pallas_raycast
 
-                def render_axis(ax):
-                    return partial(siddon_pallas_raycast, axis=ax, **common)
+                return partial(siddon_pallas_raycast, axis=ax, **common)
 
             if axis is not None:
                 return render_axis(axis)(density, source, target, weights)
-            d = jnp.mean(target - source, axis=(0, 1))
-            idx = jnp.argmax(jnp.abs(d))
+            d = jnp.abs(target - source)  # (B, N, 3)
+            # Worst-ray alignment ratio per axis; pick the axis minimizing it
+            # (the safest choice for the Siddon slab-validity bound and the
+            # Joseph quadrature skew).
+            eps = 1e-12
+            ratios = jnp.stack([
+                jnp.max(jnp.maximum(d[..., 1], d[..., 2])
+                        / jnp.maximum(d[..., 0], eps)),
+                jnp.max(jnp.maximum(d[..., 0], d[..., 2])
+                        / jnp.maximum(d[..., 1], eps)),
+                jnp.max(jnp.maximum(d[..., 0], d[..., 1])
+                        / jnp.maximum(d[..., 2], eps)),
+            ])
+            idx = jnp.argmin(ratios)
             return jax.lax.switch(
                 idx,
                 [render_axis(a) for a in range(3)],
@@ -399,28 +566,42 @@ class DRR:
                 weights,
             )
 
-        opts.pop("force_xla", None)
+        # Pallas-only hints are dropped on the XLA paths.
+        opts.pop("allow_oversample", None)
+        if self.renderer_name != "trilinear":
+            opts.pop("n_points", None)
+        if self.renderer_name == "siddon":
+            opts.pop("axis", None)
+            opts.pop("step", None)
         if self.renderer_name == "joseph":
             axis = opts.pop("axis", None)
+            step = opts.pop("step", None)
             if axis is None:
                 d = jnp.mean(target - source, axis=(0, 1))
                 idx = jnp.argmax(jnp.abs(d))
                 return jax.lax.switch(
                     idx,
-                    [partial(renderer, axis=a, **opts) for a in range(3)],
+                    [partial(renderer, axis=a,
+                             step=step if step is not None else self.joseph_steps[a],
+                             **opts) for a in range(3)],
                     density, source, target, weights,
                 )
             opts["axis"] = axis
+            opts["step"] = step if step is not None else self.joseph_steps[axis]
         if self.patch_size is None:
             return renderer(density, source, target, weights, **opts)
 
+        # Patch-wise chunked rendering (reference: drr.py:217-225). Tolerant
+        # of detector sizes not divisible by the patch count (like torch
+        # .chunk): the last chunk is smaller.
         n = self.n_patches
-        targets = jnp.split(target, n, axis=1)
-        weight_chunks = jnp.split(weights, n, axis=-1)
-        partials = [
-            renderer(density, source, t, w, **opts)
-            for t, w in zip(targets, weight_chunks)
-        ]
+        N = target.shape[1]
+        size = -(-N // n)
+        partials = []
+        for i in range(0, N, size):
+            t = target[:, i : i + size]
+            w = weights[..., i : i + size]
+            partials.append(renderer(density, source, t, w, **opts))
         return jnp.concatenate(partials, axis=-1)
 
     def reshape_transform(self, img: jnp.ndarray, batch_size: int) -> jnp.ndarray:
@@ -453,14 +634,16 @@ class DRR:
             width if width is not None else self.detector.width,
             delx if delx is not None else self.detector.delx,
             dely if dely is not None else self.detector.dely,
-            x0 if x0 is not None else self.detector.x0,
-            y0 if y0 is not None else self.detector.y0,
+            x0 if x0 is not None else self.detector._x0,
+            y0 if y0 is not None else self.detector._y0,
             self.detector._reorient,
             n_subsample if n_subsample is not None else self.detector.n_subsample,
             reverse_x_axis
             if reverse_x_axis is not None
             else self.detector.reverse_x_axis,
         )
+        # Window sizes depend on the pixel pitch: re-plan.
+        self._plan_pallas()
 
     def rescale_detector_(self, scale: float) -> None:
         """Rescale the detector plane in place (reference: drr.py:258-266)."""

@@ -216,15 +216,20 @@ def mutual_information(
     epsilon: float = 1e-10,
     normalize: bool = True,
 ) -> jnp.ndarray:
-    """(Normalized) mutual information on [0, 1] images (metrics.py:110-139)."""
+    """(Normalized) mutual information on [0, 1] images (metrics.py:110-139).
+
+    Multi-channel images are scored per channel and averaged (the reference
+    silently truncates to channel 0 via its kornia histogram call).
+    """
     assert x1.shape == x2.shape
     B, C, H, W = x1.shape
     bins = jnp.linspace(0.0, 1.0, num_bins, dtype=x1.dtype)
 
-    v1 = x1.reshape(B, H * W, C)
-    v2 = x2.reshape(B, H * W, C)
-    pdf1, kv1 = _marginal_pdf(v1[..., :1], bins, sigma, epsilon)
-    pdf2, kv2 = _marginal_pdf(v2[..., :1], bins, sigma, epsilon)
+    # Fold channels into the batch: MI per (image, channel) pair.
+    v1 = x1.reshape(B * C, H * W, 1)
+    v2 = x2.reshape(B * C, H * W, 1)
+    pdf1, kv1 = _marginal_pdf(v1, bins, sigma, epsilon)
+    pdf2, kv2 = _marginal_pdf(v2, bins, sigma, epsilon)
     pdf12 = _joint_pdf(kv1, kv2, epsilon)
 
     H1 = -jnp.sum(pdf1 * jnp.log2(pdf1 + epsilon), axis=1)
@@ -234,7 +239,7 @@ def mutual_information(
     mi = H1 + H2 - H12
     if normalize:
         mi = 2 * mi / (H1 + H2)
-    return mi
+    return jnp.mean(mi.reshape(B, C), axis=1)
 
 
 class MutualInformation:

@@ -53,7 +53,8 @@ def joseph_raycast(
     weights: Optional[jnp.ndarray] = None,
     *,
     axis: int = 0,
-    step: int = 1,
+    step: float = 1,
+    n_steps: Optional[int] = None,
     voxel_shift: float = 0.5,
     reducefn: Union[str, Callable] = "sum",
     eps: float = 1e-8,
@@ -68,7 +69,11 @@ def joseph_raycast(
         Rays nearly perpendicular to this axis integrate poorly — pick the
         axis aligned with the viewing direction.
       step: march every ``step``-th plane (speed/quality knob: ``step=2``
-        halves cost like halving the reference's ``n_points``).
+        halves cost like halving the reference's ``n_points``). May be
+        fractional: samples then sit between voxel planes (trilinearly
+        interpolated along the axis too) — the XLA oracle for the Pallas
+        ray-march/trilinear kernel (ops/pallas/raymarch.py).
+      n_steps: number of samples (default: cover the whole axis).
 
     Returns (B, 1, N) integrals, or (B, C, N) with a mask.
     """
@@ -83,8 +88,10 @@ def joseph_raycast(
     gt = target + off  # (B, N, 3)
     d = gt - gs + eps
 
-    # Plane index coordinates along the march axis: 0 .. X-1 (voxel centers).
-    ks = jnp.arange(0, X, step, dtype=volume.dtype)  # (K,)
+    # Axis sample coordinates along the march axis (voxel-center units).
+    if n_steps is None:
+        n_steps = int(-(-X // step))
+    ks = jnp.arange(n_steps, dtype=volume.dtype) * step  # (K,)
     d_ax = d[..., axis]  # (B, N)
     alpha_k = (ks[None, None, :] - gs[..., axis : axis + 1]) / d_ax[..., None]  # (B, N, K)
 

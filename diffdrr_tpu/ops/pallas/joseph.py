@@ -18,6 +18,14 @@ Kernel strategy — **no gathers anywhere**:
     a VPU multiply-reduce against WyT (KY, TR).
   * Per-ray scalars (alpha, y, z, slab mask) live in (1, TR) lane-major
     layout so every VPU op is full-width.
+  * Each tile marches only its active plane interval [lo, hi) — planes where
+    no ray intersects the volume are skipped entirely (dynamic fori bounds
+    from an SMEM range table).
+  * Fractional marching (``h`` not an integer, ``blend=True``): samples lie
+    at axis position ``p * h``; the window DMA fetches the two bracketing
+    planes and the kernel lerps them with the (shared, per-step) fraction
+    before the tent contractions — this is the production ``trilinear``
+    renderer's sampling mode (see ops/pallas/raymarch.py).
 
 Backward (analytic, per BASELINE.json north star): two additional kernels
 with the same loop structure —
@@ -28,10 +36,13 @@ with the same loop structure —
   * ``_bwd_vol``: d(out)/d(volume) via the transposed tent contraction
     dWin = (Wy*g) @ Wz^T per (tile, plane), accumulated into the gradient
     volume with read-modify-write DMA (windows of distinct planes are
-    disjoint; the grid is sequential, so RMW is race-free).
+    disjoint; the grid is sequential, so RMW is race-free). In blend mode
+    adjacent plane-pair windows overlap, so the RMW pipeline serializes.
 
 The two backward kernels are independent pallas_calls, so XLA dead-code
-eliminates the volume-gradient pass in pose-only registration loops.
+eliminates the volume-gradient pass in pose-only registration loops. The
+forward pass saves ``(vol, rays, starts)`` as VJP residuals — backward never
+re-runs the (expensive) window-start precompute.
 """
 
 from __future__ import annotations
@@ -84,14 +95,14 @@ def _ray_rows(rays_ref):
     }
 
 
-def _plane_geometry(r, p, step, starts_ref):
+def _plane_geometry(r, p, h, starts_ref):
     """Per-plane per-ray geometry shared by all three kernels.
 
     ``rz`` is relative to the *true* (unaligned) window start: the aligned DMA
     window is rotated by ``zshift`` lanes in the kernel so the compute window
     starts at the true position (see ``_roll_window``).
     """
-    k = (p * step).astype(jnp.float32)
+    k = p.astype(jnp.float32) * h
     alpha = k * r["a"] + r["b"]  # (1, TR)
     inslab = jnp.logical_and(alpha >= r["amin"], alpha <= r["amax"])
     scale = jnp.where(inslab, r["sc"], 0.0)
@@ -130,31 +141,62 @@ def _roll_window(win, zshift, zc):
     """Rotate the aligned (KY, ZW) window so the true z-start is lane 0, then
     keep the first ``zc`` lanes — shrinks the MXU contraction from ZW (which
     carries up to 127 lanes of DMA-alignment slack) down to the footprint."""
-    zw = win.shape[1]
+    zw = win.shape[-1]
     if zc == zw:
         return win
     if win.dtype != jnp.float32:
         # Mosaic's dynamic rotate requires 32-bit lanes; bf16-stored windows
         # are upcast first (the DMA-traffic saving is already banked).
         win = win.astype(jnp.float32)
-    rolled = pltpu.roll(win, -zshift, axis=1)
-    return rolled[:, :zc]
+    rolled = pltpu.roll(win, -zshift, axis=win.ndim - 1)
+    return rolled[..., :zc]
 
 
-def _make_window_dma(vol_ref, starts_ref, win_buf, sems, step, ky, zw):
+def _plane_index(p, h, n_src_planes, blend):
+    """Leading-axis DMA start for marching step ``p`` (static ``h``)."""
+    if not blend:
+        return p * int(round(h))
+    k0 = jnp.floor(p.astype(jnp.float32) * h).astype(jnp.int32)
+    return jnp.clip(k0, 0, max(0, n_src_planes - 2))
+
+
+def _make_window_dma(vol_ref, starts_ref, win_buf, sems, h, ky, zw,
+                     blend=False):
+    xp = 2 if blend else 1
+    n_src = vol_ref.shape[0]
+
     def window_dma(slot, plane_idx):
-        k = plane_idx * step
+        k = _plane_index(plane_idx, h, n_src, blend)
         # Starts are pre-aligned to the HBM (8, 128) tile grid in the XLA
         # precompute; the hints let Mosaic prove slice legality.
         ys = pl.multiple_of(starts_ref[0, plane_idx, 0], 16)
         zs = pl.multiple_of(starts_ref[0, plane_idx, 1], 128)
         return pltpu.make_async_copy(
-            vol_ref.at[k, pl.ds(ys, ky), pl.ds(zs, zw)],
+            vol_ref.at[pl.ds(k, xp), pl.ds(ys, ky), pl.ds(zs, zw)],
             win_buf.at[slot],
             sems.at[slot],
         )
 
     return window_dma
+
+
+def _blend_fraction(p, h, n_src_planes):
+    kf = p.astype(jnp.float32) * h
+    k0 = _plane_index(p, h, n_src_planes, True).astype(jnp.float32)
+    return kf - k0
+
+
+def _get_win(win_buf, slot, p, h, n_src_planes, blend):
+    """Fetch (and in blend mode lerp) the current (1|2, KY, ZW) window."""
+    if not blend:
+        return win_buf[slot, 0]
+    fx = _blend_fraction(p, h, n_src_planes)
+    w = win_buf[slot].astype(jnp.float32)
+    return w[0] * (1.0 - fx) + w[1] * fx
+
+
+def _read_range(range_ref):
+    return range_ref[0, 0], range_ref[0, 1]
 
 
 # =============================================================================
@@ -163,37 +205,44 @@ def _make_window_dma(vol_ref, starts_ref, win_buf, sems, step, ky, zw):
 
 
 def _fwd_kernel(
-    starts_ref, rays_ref, vol_ref, out_ref, win_buf, acc_ref, sems,
-    *, n_planes, step, ky, zw, zc, precision,
+    starts_ref, range_ref, rays_ref, vol_ref, out_ref, win_buf, acc_ref, sems,
+    *, h, ky, zw, zc, precision, blend,
 ):
     tr = rays_ref.shape[1]
+    n_src = vol_ref.shape[0]
     r = _ray_rows(rays_ref)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
-    window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, step, ky, zw)
+    window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, h, ky,
+                                  zw, blend)
+    lo, hi = _read_range(range_ref)
 
-    window_dma(0, 0).start()
+    @pl.when(lo < hi)
+    def _():
+        window_dma(0, lo).start()
+
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def body(p, _):
-        slot = jax.lax.rem(p, 2)
+        slot = jax.lax.rem(p - lo, 2)
 
-        @pl.when(p + 1 < n_planes)
+        @pl.when(p + 1 < hi)
         def _():
-            window_dma(jax.lax.rem(p + 1, 2), p + 1).start()
+            window_dma(jax.lax.rem(p + 1 - lo, 2), p + 1).start()
 
-        _, _, _, scale, ry, rz = _plane_geometry(r, p, step, starts_ref)
+        _, _, _, scale, ry, rz = _plane_geometry(r, p, h, starts_ref)
         wz = _tent(rz - iota_z) * scale  # (ZC, TR)
         wy = _tent(ry - iota_y)  # (KY, TR)
 
         window_dma(slot, p).wait()
-        win = _roll_window(win_buf[slot], starts_ref[0, p, 2], zc)  # (KY, ZC)
+        win = _get_win(win_buf, slot, p, h, n_src, blend)
+        win = _roll_window(win, starts_ref[0, p, 2], zc)  # (KY, ZC)
 
         t1 = _dot(win, wz, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
         acc_ref[...] += jnp.sum(t1 * wy, axis=0, keepdims=True)
         return ()
 
-    jax.lax.fori_loop(0, n_planes, body, (), unroll=False)
+    jax.lax.fori_loop(lo, hi, body, (), unroll=False)
     out_ref[...] = acc_ref[...]
 
 
@@ -203,8 +252,9 @@ def _fwd_kernel(
 
 
 def _bwd_rays_kernel(
-    starts_ref, rays_ref, g_ref, vol_ref, dout_ref, win_buf, acc_ref, sems,
-    *, n_planes, step, ky, zw, zc, precision,
+    starts_ref, range_ref, rays_ref, g_ref, vol_ref, dout_ref, win_buf,
+    acc_ref, sems,
+    *, h, ky, zw, zc, precision, blend,
 ):
     """Accumulate d(loss)/d(packed ray rows) for one ray tile.
 
@@ -218,22 +268,28 @@ def _bwd_rays_kernel(
     applied once at the end.
     """
     tr = rays_ref.shape[1]
+    n_src = vol_ref.shape[0]
     r = _ray_rows(rays_ref)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
-    window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, step, ky, zw)
+    window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, h, ky,
+                                  zw, blend)
+    lo, hi = _read_range(range_ref)
 
-    window_dma(0, 0).start()
+    @pl.when(lo < hi)
+    def _():
+        window_dma(0, lo).start()
+
     acc_ref[...] = jnp.zeros_like(acc_ref)  # (8, TR): a b gy dy gz dz sc pad
 
     def body(p, _):
-        slot = jax.lax.rem(p, 2)
+        slot = jax.lax.rem(p - lo, 2)
 
-        @pl.when(p + 1 < n_planes)
+        @pl.when(p + 1 < hi)
         def _():
-            window_dma(jax.lax.rem(p + 1, 2), p + 1).start()
+            window_dma(jax.lax.rem(p + 1 - lo, 2), p + 1).start()
 
-        k, alpha, inslab, scale, ry, rz = _plane_geometry(r, p, step, starts_ref)
+        k, alpha, inslab, scale, ry, rz = _plane_geometry(r, p, h, starts_ref)
         uy = ry - iota_y
         uz = rz - iota_z
         wy = _tent(uy)
@@ -241,7 +297,8 @@ def _bwd_rays_kernel(
         wzs = wz0 * scale
 
         window_dma(slot, p).wait()
-        win = _roll_window(win_buf[slot], starts_ref[0, p, 2], zc)
+        win = _get_win(win_buf, slot, p, h, n_src, blend)
+        win = _roll_window(win, starts_ref[0, p, 2], zc)
 
         t1 = _dot(win, wzs, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
         t2 = _dot(win, wy, (((0,), (0,)), ((), ())), precision)  # (ZC, TR)
@@ -261,7 +318,7 @@ def _bwd_rays_kernel(
         acc_ref[6:7, :] += dsc
         return ()
 
-    jax.lax.fori_loop(0, n_planes, body, (), unroll=False)
+    jax.lax.fori_loop(lo, hi, body, (), unroll=False)
     g = g_ref[0:1, :]
     dout_ref[...] = jnp.zeros_like(dout_ref)
     dout_ref[_A : _A + 1, :] = acc_ref[0:1, :] * g
@@ -274,50 +331,55 @@ def _bwd_rays_kernel(
 
 
 def _bwd_vol_kernel(
-    starts_ref, rays_ref, g_ref, vol_ref, dvol_in_ref, dvol_ref,
+    starts_ref, range_ref, rays_ref, g_ref, vol_ref, dvol_in_ref, dvol_ref,
     win_buf, dwin_buf, sems, store_sems,
-    *, n_planes, step, ky, zw, zc, precision,
+    *, h, ky, zw, zc, precision, blend,
 ):
     """Accumulate d(loss)/d(volume): dWin = (wy * g) @ (wz*scale)^T per plane,
-    read-modify-written into the aliased gradient volume. Windows of distinct
-    planes are disjoint and the grid is sequential, so RMW is race-free."""
+    read-modify-written into the aliased gradient volume.
+
+    Integer stride: windows of distinct planes are disjoint and the grid is
+    sequential, so the load/store pipeline double-buffers. Blend mode:
+    adjacent plane-pair windows overlap in one plane, so each store completes
+    before the next load issues (serialized RMW)."""
     del vol_ref  # the forward volume is not needed for its gradient
     tr = rays_ref.shape[1]
+    n_src = dvol_ref.shape[0]
+    xp = 2 if blend else 1
     r = _ray_rows(rays_ref)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
     g = g_ref[0:1, :]
+    lo, hi = _read_range(range_ref)
 
     def load_dma(slot, plane_idx):
-        k = plane_idx * step
+        k = _plane_index(plane_idx, h, n_src, blend)
         ys = pl.multiple_of(starts_ref[0, plane_idx, 0], 16)
         zs = pl.multiple_of(starts_ref[0, plane_idx, 1], 128)
         return pltpu.make_async_copy(
-            dvol_ref.at[k, pl.ds(ys, ky), pl.ds(zs, zw)],
+            dvol_ref.at[pl.ds(k, xp), pl.ds(ys, ky), pl.ds(zs, zw)],
             win_buf.at[slot],
             sems.at[slot],
         )
 
     def store_dma(slot, plane_idx):
-        k = plane_idx * step
+        k = _plane_index(plane_idx, h, n_src, blend)
         ys = pl.multiple_of(starts_ref[0, plane_idx, 0], 16)
         zs = pl.multiple_of(starts_ref[0, plane_idx, 1], 128)
         return pltpu.make_async_copy(
             dwin_buf.at[slot],
-            dvol_ref.at[k, pl.ds(ys, ky), pl.ds(zs, zw)],
+            dvol_ref.at[pl.ds(k, xp), pl.ds(ys, ky), pl.ds(zs, zw)],
             store_sems.at[slot],
         )
 
-    load_dma(0, 0).start()
+    @pl.when(lo < hi)
+    def _():
+        load_dma(0, lo).start()
 
     def body(p, _):
-        slot = jax.lax.rem(p, 2)
+        slot = jax.lax.rem(p - lo, 2)
 
-        @pl.when(p + 1 < n_planes)
-        def _():
-            load_dma(jax.lax.rem(p + 1, 2), p + 1).start()
-
-        _, _, _, scale, ry, rz = _plane_geometry(r, p, step, starts_ref)
+        _, _, _, scale, ry, rz = _plane_geometry(r, p, h, starts_ref)
         wyg = _tent(ry - iota_y) * g  # (KY, TR)
         wzs = _tent(rz - iota_z) * scale  # (ZC, TR)
         dwin = _dot(wyg, wzs, (((1,), (1,)), ((), ())), precision)  # (KY, ZC)
@@ -327,25 +389,43 @@ def _bwd_vol_kernel(
             dwin = jnp.pad(dwin, ((0, 0), (0, zw - zc)))
             dwin = pltpu.roll(dwin, starts_ref[0, p, 2], axis=1)
 
-        # Wait for the previous store on this buffer slot before reusing it.
-        @pl.when(p >= 2)
-        def _():
-            store_dma(slot, p - 2).wait()
+        if blend:
+            fx = _blend_fraction(p, h, n_src)
+            dpair = jnp.stack([dwin * (1.0 - fx), dwin * fx])
+            load_dma(slot, p).wait()
+            dwin_buf[slot] = win_buf[slot] + dpair
+            store_dma(slot, p).start()
+            # Overlapping windows: complete the store before the next load.
+            store_dma(slot, p).wait()
 
-        load_dma(slot, p).wait()
-        dwin_buf[slot] = win_buf[slot] + dwin
-        store_dma(slot, p).start()
+            @pl.when(p + 1 < hi)
+            def _():
+                load_dma(jax.lax.rem(p + 1 - lo, 2), p + 1).start()
+        else:
+            @pl.when(p + 1 < hi)
+            def _():
+                load_dma(jax.lax.rem(p + 1 - lo, 2), p + 1).start()
+
+            # Wait for the previous store on this buffer slot before reuse.
+            @pl.when(p >= lo + 2)
+            def _():
+                store_dma(slot, p - 2).wait()
+
+            load_dma(slot, p).wait()
+            dwin_buf[slot] = win_buf[slot] + dwin[None]
+            store_dma(slot, p).start()
         return ()
 
-    jax.lax.fori_loop(0, n_planes, body, (), unroll=False)
+    jax.lax.fori_loop(lo, hi, body, (), unroll=False)
 
-    @pl.when(n_planes >= 2)
-    def _():
-        store_dma(jax.lax.rem(n_planes - 2, 2), n_planes - 2).wait()
+    if not blend:
+        @pl.when(hi - lo >= 2)
+        def _():
+            store_dma(jax.lax.rem(hi - 2 - lo, 2), hi - 2).wait()
 
-    @pl.when(n_planes >= 1)
-    def _():
-        store_dma(jax.lax.rem(n_planes - 1, 2), n_planes - 1).wait()
+        @pl.when(hi - lo >= 1)
+        def _():
+            store_dma(jax.lax.rem(hi - 1 - lo, 2), hi - 1).wait()
 
 
 # =============================================================================
@@ -381,21 +461,25 @@ def _plan_tiles_cached(height, width, tile):
     return plan_tiles(height, width, tile)
 
 
-def _prep_vol(volume, perm3, ky, zw, storage=None):
+def _prep_vol(volume, perm3, ky, zw, storage=None, xpad=0):
     vol = jnp.transpose(volume, perm3)
     if storage == "bf16":
         vol = vol.astype(jnp.bfloat16)
     Y, Z = vol.shape[1], vol.shape[2]
     ypad = max(0, ky - Y)
     zpad = max(0, zw - Z)
-    if ypad or zpad:
-        vol = jnp.pad(vol, ((0, 0), (0, ypad), (0, zpad)))
+    if xpad or ypad or zpad:
+        vol = jnp.pad(vol, ((0, xpad), (0, ypad), (0, zpad)))
     return vol
 
 
 def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
-               voxel_shift, step, eps, quadrature="joseph"):
-    """Pack per-ray kernel rows in detector-tile order. Differentiable."""
+               voxel_shift, h, eps, quadrature="joseph"):
+    """Pack per-ray kernel rows in detector-tile order. Differentiable.
+
+    Fully batch-vectorized: output columns are ordered
+    ``[batch 0 tiles..., batch 1 tiles..., ...]``.
+    """
     B, N, _ = target.shape
     off = voxel_shift - 0.5
     gs = jnp.broadcast_to(source, target.shape) + off
@@ -408,7 +492,7 @@ def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
     inv_dx = 1.0 / d[:, 0]
     # Joseph folds the per-plane quadrature d(alpha) into the scale; Siddon
     # segment lengths are already parametric, so only the ray weight rides.
-    alpha_scale = jnp.abs(inv_dx) * step if quadrature == "joseph" else 1.0
+    alpha_scale = jnp.abs(inv_dx) * h if quadrature == "joseph" else 1.0
 
     dims_arr = jnp.asarray([dims[p] for p in perm3], gs.dtype)
     s_un = gs - off
@@ -434,23 +518,33 @@ def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
     perm_j = jnp.asarray(perm)
     safe = jnp.maximum(perm_j, 0)
 
-    def permute_one(rays_img):
-        out = rays_img[:, safe]
-        return jnp.where(perm_j[None, :] >= 0, out, 0.0)
+    rays_b = rays.reshape(_NROWS, B, N)
+    out = rays_b[:, :, safe]  # (_NROWS, B, padded)
+    out = jnp.where(perm_j[None, None, :] >= 0, out, 0.0)
+    # Padding rays must be NEUTRAL: an empty slab interval (amin > amax)
+    # keeps them out of the window minima, the active-range table, and the
+    # integral (zeroed columns would otherwise read as "in-slab at alpha=0"
+    # and pull edge-tile windows to voxel 0, clipping the real rays).
+    pad_col = perm_j[None, None, :] < 0
+    out = out.at[_AMIN].set(jnp.where(pad_col[0], 2.0, out[_AMIN]))
+    out = out.at[_AMAX].set(jnp.where(pad_col[0], -2.0, out[_AMAX]))
+    return out.reshape(_NROWS, B * padded)
 
-    rays_tiled = jnp.concatenate(
-        [permute_one(rays[:, b * N : (b + 1) * N]) for b in range(B)], axis=1
-    )
-    return rays_tiled
 
+def _compute_starts(rays_tiled, n_tiles, TR, n_planes, h, Y, Z, ky, zw, zc):
+    """Per (tile, plane) window placement + per-tile active plane ranges.
 
-def _compute_starts(rays_tiled, n_tiles, TR, n_planes, step, Y, Z, ky, zw, zc):
-    """Per (tile, plane) window placement. Non-differentiable.
+    Non-differentiable. Returns (starts, ranges):
 
-    Columns: [ystart (8-aligned), zstart_aligned (128-aligned), zshift, 0]
-    where the true z window is ``[zstart_aligned + zshift,  + zc)`` and the
-    DMA fetches ``[zstart_aligned, + zw)``. Coverage invariants:
-    zshift <= zw - zc and the footprint fits in (ky, zc).
+      starts (n_tiles, n_planes, 4) int32, columns
+        [ystart (16-aligned), zstart_aligned (128-aligned), zshift, 0]
+      where the true z window is ``[zstart_aligned + zshift, + zc)`` and the
+      DMA fetches ``[zstart_aligned, + zw)``. Coverage invariants:
+      zshift <= zw - zc and the footprint fits in (ky, zc).
+
+      ranges (n_tiles, 2) int32: [lo, hi) — the contiguous interval of planes
+      where at least one of the tile's rays is inside the volume slab; the
+      kernels march only this interval.
     """
     rt = jax.lax.stop_gradient(rays_tiled).reshape(_NROWS, n_tiles, TR)
     big = jnp.float32(1e9)
@@ -460,7 +554,7 @@ def _compute_starts(rays_tiled, n_tiles, TR, n_planes, step, Y, Z, ky, zw, zc):
     # dispatch-bound; ~32-plane chunks balance both.
     chunk = min(32, n_planes)
     n_chunks = -(-n_planes // chunk)
-    ks = jnp.arange(n_chunks * chunk, dtype=jnp.float32) * step
+    ks = jnp.arange(n_chunks * chunk, dtype=jnp.float32) * h
     ks_chunks = ks.reshape(n_chunks, chunk)
 
     def chunk_minima(_, kc):
@@ -476,6 +570,17 @@ def _compute_starts(rays_tiled, n_tiles, TR, n_planes, step, Y, Z, ky, zw, zc):
     # (n_chunks, tiles, chunk) -> (tiles, P)
     y_min = jnp.moveaxis(y_min, 0, 1).reshape(n_tiles, -1)[:, :n_planes]
     z_min = jnp.moveaxis(z_min, 0, 1).reshape(n_tiles, -1)[:, :n_planes]
+
+    # Active plane interval per tile: planes where any ray is in-slab form a
+    # contiguous interval (each ray's in-slab set is an alpha interval, and
+    # the tile's rays overlap).
+    active = y_min < big  # (tiles, P)
+    idx = jnp.arange(n_planes, dtype=jnp.int32)[None, :]
+    lo = jnp.min(jnp.where(active, idx, n_planes), axis=1).astype(jnp.int32)
+    hi = (jnp.max(jnp.where(active, idx, -1), axis=1) + 1).astype(jnp.int32)
+    hi = jnp.maximum(hi, lo)
+    ranges = jnp.stack([lo, hi], axis=-1)
+
     ystart = jnp.clip(jnp.floor(y_min) - 2, 0, Y - ky).astype(jnp.int32)
     # 16-alignment covers both f32 (8, 128) and bf16 (16, 128) HBM tilings.
     ystart = (ystart // 16) * 16
@@ -483,7 +588,7 @@ def _compute_starts(rays_tiled, n_tiles, TR, n_planes, step, Y, Z, ky, zw, zc):
     zal = jnp.minimum((zdes // 128) * 128, max(0, Z - zw))
     zshift = zdes - zal
     zero = jnp.zeros_like(ystart)
-    return jnp.stack([ystart, zal, zshift, zero], axis=-1)
+    return jnp.stack([ystart, zal, zshift, zero], axis=-1), ranges
 
 
 # =============================================================================
@@ -495,171 +600,209 @@ def _common_specs(n_planes, TR):
     return [
         pl.BlockSpec((1, n_planes, 4), lambda t: (t, 0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda t: (t, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((_NROWS, TR), lambda t: (0, t), memory_space=pltpu.VMEM),
     ]
 
 
-def _fwd_call(vol, rays_tiled, starts, *, n_tiles, TR, n_planes, step, ky, zw,
-              zc, precision, interpret):
+def _fwd_call(vol, rays_tiled, starts, ranges, *, n_tiles, TR, n_planes, h,
+              ky, zw, zc, precision, blend, interpret):
     kernel = functools.partial(
-        _fwd_kernel, n_planes=n_planes, step=step, ky=ky, zw=zw, zc=zc,
-        precision=precision,
+        _fwd_kernel, h=h, ky=ky, zw=zw, zc=zc, precision=precision,
+        blend=blend,
     )
+    xp = 2 if blend else 1
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=_common_specs(n_planes, TR) + [
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, TR), lambda t: (0, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_tiles * TR), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, ky, zw), vol.dtype),
+            pltpu.VMEM((2, xp, ky, zw), vol.dtype),
             pltpu.VMEM((1, TR), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(starts, rays_tiled, vol)
+    )(starts, ranges, rays_tiled, vol)
 
 
-def _bwd_rays_call(vol, rays_tiled, starts, g_tiled, *, n_tiles, TR, n_planes,
-                   step, ky, zw, zc, precision, interpret):
+def _bwd_rays_call(vol, rays_tiled, starts, ranges, g_tiled, *, n_tiles, TR,
+                   n_planes, h, ky, zw, zc, precision, blend, interpret):
     kernel = functools.partial(
-        _bwd_rays_kernel, n_planes=n_planes, step=step, ky=ky, zw=zw, zc=zc,
-        precision=precision,
+        _bwd_rays_kernel, h=h, ky=ky, zw=zw, zc=zc, precision=precision,
+        blend=blend,
     )
+    xp = 2 if blend else 1
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=_common_specs(n_planes, TR) + [
             pl.BlockSpec((1, TR), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((_NROWS, TR), lambda t: (0, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((_NROWS, n_tiles * TR), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, ky, zw), vol.dtype),
+            pltpu.VMEM((2, xp, ky, zw), vol.dtype),
             pltpu.VMEM((8, TR), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(starts, rays_tiled, g_tiled, vol)
+    )(starts, ranges, rays_tiled, g_tiled, vol)
 
 
-def _bwd_vol_call(vol, rays_tiled, starts, g_tiled, *, n_tiles, TR, n_planes,
-                  step, ky, zw, zc, precision, interpret):
+def _bwd_vol_call(vol, rays_tiled, starts, ranges, g_tiled, *, n_tiles, TR,
+                  n_planes, h, ky, zw, zc, precision, blend, interpret):
     kernel = functools.partial(
-        _bwd_vol_kernel, n_planes=n_planes, step=step, ky=ky, zw=zw, zc=zc,
-        precision=precision,
+        _bwd_vol_kernel, h=h, ky=ky, zw=zw, zc=zc, precision=precision,
+        blend=blend,
     )
+    xp = 2 if blend else 1
     dvol_init = jnp.zeros(vol.shape, jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=_common_specs(n_planes, TR) + [
             pl.BlockSpec((1, TR), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # fwd volume (unused)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # dvol accumulator (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),  # fwd volume (unused)
+            pl.BlockSpec(memory_space=pl.ANY),  # dvol accumulator (aliased)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(vol.shape, jnp.float32),
-        input_output_aliases={4: 0},
+        input_output_aliases={5: 0},
         scratch_shapes=[
-            pltpu.VMEM((2, ky, zw), jnp.float32),
-            pltpu.VMEM((2, ky, zw), jnp.float32),
+            pltpu.VMEM((2, xp, ky, zw), jnp.float32),
+            pltpu.VMEM((2, xp, ky, zw), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(starts, rays_tiled, g_tiled, vol, dvol_init)
+    )(starts, ranges, rays_tiled, g_tiled, vol, dvol_init)
+
+
+def _tile_permutes(perm, B, N, TR, n_tiles_img):
+    """Vectorized tiled-order <-> row-major maps for outputs/cotangents."""
+    perm_j = jnp.asarray(perm)
+    safe = jnp.maximum(perm_j, 0)
+    inv = np.zeros(N, np.int64)
+    inv[perm[perm >= 0]] = np.nonzero(perm >= 0)[0]
+    inv_j = jnp.asarray(inv)
+
+    def untile(out_tiled):
+        out_tiled = out_tiled.reshape(B, n_tiles_img * TR)
+        return out_tiled[:, inv_j][:, None, :]
+
+    def tile_g(g):
+        g2 = g.reshape(B, N)
+        out = g2[:, safe]  # (B, padded)
+        out = jnp.where(perm_j[None, :] >= 0, out, 0.0)
+        return out.reshape(1, -1)
+
+    return untile, tile_g
 
 
 @functools.lru_cache(maxsize=64)
-def _make_joseph(dims, image_shape, axis, step, voxel_shift, eps, tile, ky, zw,
-                 zc, precision, storage, interpret):
-    """Build the custom-VJP render function for one static configuration."""
+def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
+                 ky, zw, zc, precision, storage, interpret,
+                 use_prepped=False):
+    """Build the custom-VJP render function for one static configuration.
+
+    ``h`` is the (possibly fractional) marching stride in planes; sampling
+    positions along the axis are ``p * h`` for ``p in [0, n_steps)``. Integer
+    ``h`` uses single-plane windows; fractional ``h`` lerps plane pairs.
+
+    ``use_prepped``: the render function takes an additional trailing
+    ``prepped`` argument — the already permuted/padded/cast volume (the DRR
+    caches one per axis) — and skips ``_prep_vol``. Gradients are still
+    attributed to the raw ``volume`` argument (the caller maintains the
+    invariant ``prepped == _prep_vol(volume)``); the ``prepped`` cotangent is
+    symbolic zero.
+    """
     H, W = image_shape
     other = tuple(d for d in range(3) if d != axis)
     perm3 = (axis,) + other
     inv_perm3 = tuple(np.argsort(perm3))
-    X = dims[axis]
-    n_planes = -(-X // step)
+    blend = abs(h - round(h)) > 1e-9
+    xpad = 1 if blend else 0
     perm, n_tiles_img, padded = _plan_tiles_cached(H, W, tile)
     TR = tile * tile
 
-    def prepare(volume, source, target, weights):
+    def prepare(volume, source, target, weights, prepped):
         B, N, _ = target.shape
-        vol = _prep_vol(volume, perm3, ky, zw, storage)
+        if use_prepped:
+            vol = prepped
+        else:
+            vol = _prep_vol(volume, perm3, ky, zw, storage, xpad)
         rays_tiled = _prep_rays(
             source, target, weights, perm3, dims, H, W, tile, voxel_shift,
-            step, eps,
+            h, eps,
         )
         n_tiles = B * n_tiles_img
-        starts = _compute_starts(
-            rays_tiled, n_tiles, TR, n_planes, step, vol.shape[1],
+        starts, ranges = _compute_starts(
+            rays_tiled, n_tiles, TR, n_steps, h, vol.shape[1],
             vol.shape[2], ky, zw, zc,
         )
-        return vol, rays_tiled, starts, n_tiles
+        return vol, rays_tiled, starts, ranges
 
-    def untile(out_tiled, B, N):
-        out_tiled = out_tiled.reshape(B, n_tiles_img * TR)
-        inv = np.zeros(N, np.int64)
-        inv[perm[perm >= 0]] = np.nonzero(perm >= 0)[0]
-        return out_tiled[:, jnp.asarray(inv)][:, None, :]
+    kw = dict(TR=TR, n_planes=n_steps, h=h, ky=ky, zw=zw, zc=zc,
+              precision=precision, blend=blend, interpret=interpret)
 
-    def tile_g(g, B, N):
-        perm_j = jnp.asarray(perm)
-        safe = jnp.maximum(perm_j, 0)
-        g2 = g.reshape(B, N)
-
-        def one(gb):
-            out = gb[safe]
-            return jnp.where(perm_j >= 0, out, 0.0)
-
-        return jnp.concatenate([one(g2[b]) for b in range(B)])[None, :]
+    def run_fwd(vol, rays_tiled, starts, ranges, B, N):
+        n_tiles = rays_tiled.shape[1] // TR
+        out = _fwd_call(vol, rays_tiled, starts, ranges, n_tiles=n_tiles, **kw)
+        untile, _ = _tile_permutes(perm, B, N, TR, n_tiles_img)
+        return untile(out)
 
     @jax.custom_vjp
-    def render(volume, source, target, weights):
+    def render(volume, source, target, weights, prepped):
         B, N, _ = target.shape
-        vol, rays_tiled, starts, n_tiles = prepare(volume, source, target, weights)
-        out = _fwd_call(
-            vol, rays_tiled, starts, n_tiles=n_tiles, TR=TR,
-            n_planes=n_planes, step=step, ky=ky, zw=zw, zc=zc,
-            precision=precision, interpret=interpret,
-        )
-        return untile(out, B, N)
+        vol, rays_tiled, starts, ranges = prepare(
+            volume, source, target, weights, prepped)
+        return run_fwd(vol, rays_tiled, starts, ranges, B, N)
 
-    def render_fwd(volume, source, target, weights):
-        return render(volume, source, target, weights), (
-            volume, source, target, weights,
-        )
+    def render_fwd(volume, source, target, weights, prepped):
+        B, N, _ = target.shape
+        vol, rays_tiled, starts, ranges = prepare(
+            volume, source, target, weights, prepped)
+        out = run_fwd(vol, rays_tiled, starts, ranges, B, N)
+        # The prepared arrays ride as residuals: backward never re-runs the
+        # window-start precompute or the volume transpose.
+        return out, (vol, rays_tiled, starts, ranges, source, target, weights)
 
     def render_bwd(res, g):
-        volume, source, target, weights = res
+        vol, rays_tiled, starts, ranges, source, target, weights = res
         B, N, _ = target.shape
-        vol, rays_tiled, starts, n_tiles = prepare(volume, source, target, weights)
-        g_tiled = tile_g(g, B, N)
+        n_tiles = rays_tiled.shape[1] // TR
+        _, tile_g = _tile_permutes(perm, B, N, TR, n_tiles_img)
+        g_tiled = tile_g(g)
 
-        kw = dict(n_tiles=n_tiles, TR=TR, n_planes=n_planes, step=step,
-                  ky=ky, zw=zw, zc=zc, precision=precision,
-                  interpret=interpret)
-        d_rays = _bwd_rays_call(vol, rays_tiled, starts, g_tiled, **kw)
-        d_vol_p = _bwd_vol_call(vol, rays_tiled, starts, g_tiled, **kw)
+        d_rays = _bwd_rays_call(vol, rays_tiled, starts, ranges, g_tiled,
+                                n_tiles=n_tiles, **kw)
+        d_vol_p = _bwd_vol_call(vol, rays_tiled, starts, ranges, g_tiled,
+                                n_tiles=n_tiles, **kw)
 
         # Map packed-row cotangents back through the (differentiable) ray
         # packing, and the padded/permuted volume back to the original.
         _, vjp_rays = jax.vjp(
             lambda s, t, w: _prep_rays(
-                s, t, w, perm3, dims, H, W, tile, voxel_shift, step, eps
+                s, t, w, perm3, dims, H, W, tile, voxel_shift, h, eps
             ),
             source, target, weights,
         )
         d_source, d_target, d_weights = vjp_rays(d_rays)
         Y0, Z0 = dims[other[0]], dims[other[1]]
-        d_vol = jnp.transpose(d_vol_p[:, :Y0, :Z0], inv_perm3)
-        return d_vol, d_source, d_target, d_weights
+        X0 = dims[axis]
+        d_vol = jnp.transpose(d_vol_p[:X0, :Y0, :Z0], inv_perm3)
+        # Symbolic-zero cotangent for the cache argument: the full gradient
+        # is already attributed to ``volume`` (XLA folds the zeros away).
+        d_prepped = (jnp.zeros_like(vol) if use_prepped
+                     else jnp.zeros((0,), jnp.float32))
+        return d_vol, d_source, d_target, d_weights, d_prepped
 
     render.defvjp(render_fwd, render_bwd)
     return render
@@ -673,7 +816,8 @@ def joseph_pallas_raycast(
     *,
     image_shape: Tuple[int, int],
     axis: int = 0,
-    step: int = 1,
+    step: float = 1,
+    n_steps: Optional[int] = None,
     voxel_shift: float = 0.5,
     eps: float = 1e-8,
     tile: int = 16,
@@ -683,6 +827,7 @@ def joseph_pallas_raycast(
     precision: str = "f32",
     storage: Optional[str] = None,
     interpret: bool = False,
+    prepped_vol: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Joseph plane-march render via Pallas TPU kernels, fwd + analytic bwd.
 
@@ -690,9 +835,14 @@ def joseph_pallas_raycast(
 
       image_shape: static detector (H, W) — rays must be in row-major detector
         order (the DRR orchestrator's native layout).
+      step: marching stride in planes. Integer strides sample exactly at
+        voxel planes (classic Joseph); fractional strides lerp between the
+        two bracketing planes (the trilinear ray-march mode, see
+        ops/pallas/raymarch.py).
+      n_steps: number of marching steps (default: cover the whole axis).
       tile: detector tile side in pixels (TR = tile**2 rays per kernel step).
       ky / zw: static VMEM window extents along the two transverse volume
-        axes; ky is 8-aligned, zw 128-aligned (HBM tile grid). Must cover one
+        axes; ky is 16-aligned, zw 128-aligned (HBM tile grid). Must cover one
         tile's in-plane footprint plus alignment slack (127 along z) — the
         DRR orchestrator derives them from its geometry.
 
@@ -705,8 +855,13 @@ def joseph_pallas_raycast(
         weights = jnp.ones((B, 1, N), volume.dtype)
     if zc is None:
         zc = zw - 128 if zw > 128 else zw
+    h = float(step)
+    if n_steps is None:
+        n_steps = int(-(-volume.shape[axis] // h))
+    use_prepped = prepped_vol is not None
     fn = _make_joseph(
-        volume.shape, tuple(image_shape), axis, step, voxel_shift, eps, tile,
-        ky, zw, zc, precision, storage, interpret,
+        volume.shape, tuple(image_shape), axis, h, int(n_steps), voxel_shift,
+        eps, tile, ky, zw, zc, precision, storage, interpret, use_prepped,
     )
-    return fn(volume, source, target, weights)
+    prepped = prepped_vol if use_prepped else jnp.zeros((0,), jnp.float32)
+    return fn(volume, source, target, weights, prepped)

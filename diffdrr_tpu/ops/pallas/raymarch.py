@@ -1,0 +1,90 @@
+"""Pallas TPU trilinear ray-march renderer — the production ``trilinear``.
+
+TPU-native counterpart of the reference's ``Trilinear`` renderer
+(diffdrr/renderers.py:186-254): ``n_points`` trilinearly interpolated samples
+per ray, rectangle-rule quadrature, differentiable w.r.t. pose and density.
+
+Design departure (deliberate, documented): the reference spaces its samples
+uniformly in the ray parameter ``alpha`` between the *global* entry/exit of
+the ray bundle (renderers.py:219-225). Sampling at per-ray alphas puts each
+sample at a different, per-ray depth plane — a gather-shaped access pattern
+that cannot ride the MXU. This kernel instead spaces samples uniformly along
+the march axis at ``x = p * h`` (``h = (X-1)/(n_points-1)`` planes): every
+ray samples the *same* fractional plane per step, so the trilinear
+interpolation factors into a (shared, scalar) lerp of the two bracketing
+voxel planes followed by the Joseph kernel's tent-weight matmuls — zero
+gathers. Per-ray quadrature weights ``dalpha = h / |d_axis|`` make the sum a
+rectangle rule of identical order; both schemes converge to the same line
+integral, and at equal ``n_points`` the plane-aligned placement is at least
+as accurate (samples concentrate where the ray actually crosses voxels
+rather than in the bundle's empty alpha margin). Parity with the reference's
+own placement is covered by the XLA oracle (ops/trilinear.py), which remains
+the CPU path and the ``force_xla`` escape.
+
+``n_points > X`` (sub-plane oversampling) refines only the quadrature of a
+piecewise-quadratic integrand — accuracy is already saturated at one sample
+per plane. The orchestrator therefore caps the step count at one per plane
+by default; pass ``allow_oversample=True`` to honor larger ``n_points``
+literally (fractional ``h < 1``, proportionally more DMA traffic).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from .joseph import _make_joseph
+
+__all__ = ["raymarch_pallas_raycast"]
+
+
+def raymarch_pallas_raycast(
+    volume: jnp.ndarray,
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+    *,
+    image_shape: Tuple[int, int],
+    axis: int = 0,
+    n_points: int = 500,
+    allow_oversample: bool = False,
+    voxel_shift: float = 0.5,
+    eps: float = 1e-8,
+    tile: int = 16,
+    ky: int = 64,
+    zw: int = 256,
+    zc: Optional[int] = None,
+    precision: str = "f32",
+    storage: Optional[str] = None,
+    interpret: bool = False,
+    prepped_vol: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Trilinear ray-march render via Pallas plane-lerp kernels.
+
+    Args mirror :func:`diffdrr_tpu.ops.trilinear.trilinear_raycast` (the XLA
+    oracle), plus the Pallas window geometry of
+    :func:`diffdrr_tpu.ops.pallas.joseph.joseph_pallas_raycast`.
+
+    Returns (B, 1, N) line integrals, differentiable w.r.t. volume, source,
+    target, and weights.
+    """
+    B, N, _ = target.shape
+    if weights is None:
+        weights = jnp.ones((B, 1, N), volume.dtype)
+    if zc is None:
+        zc = zw - 128 if zw > 128 else zw
+    X = volume.shape[axis]
+    n_steps = int(n_points)
+    if not allow_oversample:
+        n_steps = min(n_steps, X)
+    n_steps = max(n_steps, 2)
+    h = (X - 1) / (n_steps - 1)
+    use_prepped = prepped_vol is not None
+    fn = _make_joseph(
+        volume.shape, tuple(image_shape), axis, float(h), n_steps,
+        voxel_shift, eps, tile, ky, zw, zc, precision, storage, interpret,
+        use_prepped,
+    )
+    prepped = prepped_vol if use_prepped else jnp.zeros((0,), jnp.float32)
+    return fn(volume, source, target, weights, prepped)

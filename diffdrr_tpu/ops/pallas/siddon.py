@@ -17,11 +17,17 @@ Joseph machinery (diffdrr_tpu/ops/pallas/joseph.py) with two one-hot
 z-contractions per slab instead of one tent contraction — still matmuls, no
 gathers, no sorts.
 
+Validity domain: the "at most one transverse crossing per slab" decomposition
+requires every ray's transverse direction components to satisfy
+``max(|dy|, |dz|) <= |dx|`` for the chosen march axis. The DRR orchestrator
+guards dispatch accordingly (see DRR.render / pallas_cone_margin).
+
 Gradients match the reference's semantics: nearest-neighbor sampling has zero
 gradient through voxel *values* w.r.t. pose; pose gradients flow through the
 exact segment *lengths* (the alpha breakpoints), and density gradients through
 the segment-length weights. Both are computed analytically in backward
-kernels with the same slab loop.
+kernels with the same slab loop. The forward saves the prepared
+(vol, rays, starts) as VJP residuals, so backward never re-runs the prep.
 """
 
 from __future__ import annotations
@@ -54,7 +60,9 @@ from .joseph import (
     _prep_rays,
     _prep_vol,
     _ray_rows,
+    _read_range,
     _roll_window,
+    _tile_permutes,
     _dot,
 )
 
@@ -133,24 +141,28 @@ def _onehot(iota, pos):
 
 
 def _fwd_kernel(
-    starts_ref, rays_ref, vol_ref, out_ref, win_buf, acc_ref, sems,
-    *, n_planes, ky, zw, zc, precision,
+    starts_ref, range_ref, rays_ref, vol_ref, out_ref, win_buf, acc_ref, sems,
+    *, ky, zw, zc, precision,
 ):
     tr = rays_ref.shape[1]
     r = _ray_rows(rays_ref)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
     window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, 1, ky, zw)
+    lo, hi = _read_range(range_ref)
 
-    window_dma(0, 0).start()
+    @pl.when(lo < hi)
+    def _():
+        window_dma(0, lo).start()
+
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def body(s, _):
-        slot = jax.lax.rem(s, 2)
+        slot = jax.lax.rem(s - lo, 2)
 
-        @pl.when(s + 1 < n_planes)
+        @pl.when(s + 1 < hi)
         def _():
-            window_dma(jax.lax.rem(s + 1, 2), s + 1).start()
+            window_dma(jax.lax.rem(s + 1 - lo, 2), s + 1).start()
 
         C, ry0, rz0, _ = _slab_segments(r, s, starts_ref)
         wzA = _onehot(iota_z, rz0)  # (ZC, TR)
@@ -159,7 +171,7 @@ def _fwd_kernel(
         ey1 = _onehot(iota_y, ry0 + 1.0)
 
         window_dma(slot, s).wait()
-        win = _roll_window(win_buf[slot], starts_ref[0, s, 2], zc)
+        win = _roll_window(win_buf[slot, 0], starts_ref[0, s, 2], zc)
 
         tA = _dot(win, wzA, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
         tB = _dot(win, wzB, (((1,), (0,)), ((), ())), precision)
@@ -174,13 +186,14 @@ def _fwd_kernel(
         )
         return ()
 
-    jax.lax.fori_loop(0, n_planes, body, (), unroll=False)
+    jax.lax.fori_loop(lo, hi, body, (), unroll=False)
     out_ref[...] = acc_ref[...]
 
 
 def _bwd_rays_kernel(
-    starts_ref, rays_ref, g_ref, vol_ref, dout_ref, win_buf, acc_ref, sems,
-    *, n_planes, ky, zw, zc, precision,
+    starts_ref, range_ref, rays_ref, g_ref, vol_ref, dout_ref, win_buf,
+    acc_ref, sems,
+    *, ky, zw, zc, precision,
 ):
     """d(loss)/d(packed rays) for exact Siddon.
 
@@ -196,16 +209,20 @@ def _bwd_rays_kernel(
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
     window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, 1, ky, zw)
+    lo, hi = _read_range(range_ref)
 
-    window_dma(0, 0).start()
+    @pl.when(lo < hi)
+    def _():
+        window_dma(0, lo).start()
+
     acc_ref[...] = jnp.zeros_like(acc_ref)  # rows: a b gy dy gz dz sc pad
 
     def body(s, _):
-        slot = jax.lax.rem(s, 2)
+        slot = jax.lax.rem(s - lo, 2)
 
-        @pl.when(s + 1 < n_planes)
+        @pl.when(s + 1 < hi)
         def _():
-            window_dma(jax.lax.rem(s + 1, 2), s + 1).start()
+            window_dma(jax.lax.rem(s + 1 - lo, 2), s + 1).start()
 
         C, ry0, rz0, aux = _slab_segments(r, s, starts_ref)
         wzA = _onehot(iota_z, rz0)
@@ -214,7 +231,7 @@ def _bwd_rays_kernel(
         ey1 = _onehot(iota_y, ry0 + 1.0)
 
         window_dma(slot, s).wait()
-        win = _roll_window(win_buf[slot], starts_ref[0, s, 2], zc)
+        win = _roll_window(win_buf[slot, 0], starts_ref[0, s, 2], zc)
 
         tA = _dot(win, wzA, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
         tB = _dot(win, wzB, (((1,), (0,)), ((), ())), precision)
@@ -288,7 +305,7 @@ def _bwd_rays_kernel(
         acc_ref[6:7, :] += V1 * aux["lens"][0] + V2 * aux["lens"][1] + V3 * aux["lens"][2]
         return ()
 
-    jax.lax.fori_loop(0, n_planes, body, (), unroll=False)
+    jax.lax.fori_loop(lo, hi, body, (), unroll=False)
     g = g_ref[0:1, :]
     dout_ref[...] = jnp.zeros_like(dout_ref)
     dout_ref[_A : _A + 1, :] = acc_ref[0:1, :] * g
@@ -301,9 +318,9 @@ def _bwd_rays_kernel(
 
 
 def _bwd_vol_kernel(
-    starts_ref, rays_ref, g_ref, vol_ref, dvol_in_ref, dvol_ref,
+    starts_ref, range_ref, rays_ref, g_ref, vol_ref, dvol_in_ref, dvol_ref,
     win_buf, dwin_buf, sems, store_sems,
-    *, n_planes, ky, zw, zc, precision,
+    *, ky, zw, zc, precision,
 ):
     del vol_ref
     tr = rays_ref.shape[1]
@@ -311,12 +328,13 @@ def _bwd_vol_kernel(
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
     g = g_ref[0:1, :]
+    lo, hi = _read_range(range_ref)
 
     def load_dma(slot, s):
         ys = pl.multiple_of(starts_ref[0, s, 0], 16)
         zs = pl.multiple_of(starts_ref[0, s, 1], 128)
         return pltpu.make_async_copy(
-            dvol_ref.at[s, pl.ds(ys, ky), pl.ds(zs, zw)],
+            dvol_ref.at[pl.ds(s, 1), pl.ds(ys, ky), pl.ds(zs, zw)],
             win_buf.at[slot], sems.at[slot],
         )
 
@@ -325,18 +343,20 @@ def _bwd_vol_kernel(
         zs = pl.multiple_of(starts_ref[0, s, 1], 128)
         return pltpu.make_async_copy(
             dwin_buf.at[slot],
-            dvol_ref.at[s, pl.ds(ys, ky), pl.ds(zs, zw)],
+            dvol_ref.at[pl.ds(s, 1), pl.ds(ys, ky), pl.ds(zs, zw)],
             store_sems.at[slot],
         )
 
-    load_dma(0, 0).start()
+    @pl.when(lo < hi)
+    def _():
+        load_dma(0, lo).start()
 
     def body(s, _):
-        slot = jax.lax.rem(s, 2)
+        slot = jax.lax.rem(s - lo, 2)
 
-        @pl.when(s + 1 < n_planes)
+        @pl.when(s + 1 < hi)
         def _():
-            load_dma(jax.lax.rem(s + 1, 2), s + 1).start()
+            load_dma(jax.lax.rem(s + 1 - lo, 2), s + 1).start()
 
         C, ry0, rz0, _ = _slab_segments(r, s, starts_ref)
         wzA = _onehot(iota_z, rz0)
@@ -352,24 +372,24 @@ def _bwd_vol_kernel(
             dwin = jnp.pad(dwin, ((0, 0), (0, zw - zc)))
             dwin = pltpu.roll(dwin, starts_ref[0, s, 2], axis=1)
 
-        @pl.when(s >= 2)
+        @pl.when(s >= lo + 2)
         def _():
             store_dma(slot, s - 2).wait()
 
         load_dma(slot, s).wait()
-        dwin_buf[slot] = win_buf[slot] + dwin
+        dwin_buf[slot] = win_buf[slot] + dwin[None]
         store_dma(slot, s).start()
         return ()
 
-    jax.lax.fori_loop(0, n_planes, body, (), unroll=False)
+    jax.lax.fori_loop(lo, hi, body, (), unroll=False)
 
-    @pl.when(n_planes >= 2)
+    @pl.when(hi - lo >= 2)
     def _():
-        store_dma(jax.lax.rem(n_planes - 2, 2), n_planes - 2).wait()
+        store_dma(jax.lax.rem(hi - 2 - lo, 2), hi - 2).wait()
 
-    @pl.when(n_planes >= 1)
+    @pl.when(hi - lo >= 1)
     def _():
-        store_dma(jax.lax.rem(n_planes - 1, 2), n_planes - 1).wait()
+        store_dma(jax.lax.rem(hi - 1 - lo, 2), hi - 1).wait()
 
 
 # =============================================================================
@@ -377,29 +397,9 @@ def _bwd_vol_kernel(
 # =============================================================================
 
 
-def _call(kernel_fn, extra_in, vol, rays_tiled, starts, *, n_tiles, TR,
-          n_planes, ky, zw, zc, precision, interpret, out_shape, out_block,
-          scratch, aliases=None):
-    kernel = functools.partial(
-        kernel_fn, n_planes=n_planes, ky=ky, zw=zw, zc=zc, precision=precision
-    )
-    in_specs = _common_specs(n_planes, TR) + extra_in
-    kwargs = dict(
-        grid=(n_tiles,),
-        in_specs=in_specs,
-        out_specs=out_block,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )
-    if aliases:
-        kwargs["input_output_aliases"] = aliases
-    return pl.pallas_call(kernel, **kwargs)
-
-
 @functools.lru_cache(maxsize=64)
 def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
-                 precision, storage, interpret):
+                 precision, storage, interpret, use_prepped=False):
     H, W = image_shape
     other = tuple(d for d in range(3) if d != axis)
     perm3 = (axis,) + other
@@ -409,104 +409,110 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
     perm, n_tiles_img, padded = _plan_tiles_cached(H, W, tile)
     TR = tile * tile
 
-    def prepare(volume, source, target, weights):
+    def prepare(volume, source, target, weights, prepped):
         B, N, _ = target.shape
-        vol = _prep_vol(volume, perm3, ky, zw, storage)
+        if use_prepped:
+            vol = prepped
+        else:
+            vol = _prep_vol(volume, perm3, ky, zw, storage)
         rays_tiled = _prep_rays(
             source, target, weights, perm3, dims, H, W, tile, voxel_shift,
             1, eps, quadrature="siddon",
         )
         n_tiles = B * n_tiles_img
-        starts = _compute_starts(
+        starts, ranges = _compute_starts(
             rays_tiled, n_tiles, TR, n_planes, 1, vol.shape[1], vol.shape[2],
             ky, zw, zc,
         )
-        return vol, rays_tiled, starts, n_tiles
+        return vol, rays_tiled, starts, ranges
 
-    def untile(out_tiled, B, N):
-        out_tiled = out_tiled.reshape(B, n_tiles_img * TR)
-        inv = np.zeros(N, np.int64)
-        inv[perm[perm >= 0]] = np.nonzero(perm >= 0)[0]
-        return out_tiled[:, jnp.asarray(inv)][:, None, :]
+    kw_static = dict(ky=ky, zw=zw, zc=zc, precision=precision)
 
-    def tile_g(gc, B, N):
-        perm_j = jnp.asarray(perm)
-        safe = jnp.maximum(perm_j, 0)
-        g2 = gc.reshape(B, N)
-
-        def one(gb):
-            out = gb[safe]
-            return jnp.where(perm_j >= 0, out, 0.0)
-
-        return jnp.concatenate([one(g2[b]) for b in range(B)])[None, :]
-
-    kw_static = dict(TR=TR, n_planes=n_planes, ky=ky, zw=zw, zc=zc,
-                     precision=precision, interpret=interpret)
-
-    @jax.custom_vjp
-    def render(volume, source, target, weights):
-        B, N, _ = target.shape
-        vol, rays_tiled, starts, n_tiles = prepare(volume, source, target, weights)
-        out = _call(
-            _fwd_kernel, [pl.BlockSpec(memory_space=pltpu.ANY)],
-            vol, rays_tiled, starts, n_tiles=n_tiles,
-            out_shape=jax.ShapeDtypeStruct((1, n_tiles * TR), jnp.float32),
-            out_block=pl.BlockSpec((1, TR), lambda t: (0, t),
+    def run_fwd(vol, rays_tiled, starts, ranges, B, N):
+        n_tiles = rays_tiled.shape[1] // TR
+        kernel = functools.partial(_fwd_kernel, **kw_static)
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=_common_specs(n_planes, TR) + [
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, TR), lambda t: (0, t),
                                    memory_space=pltpu.VMEM),
-            scratch=[
-                pltpu.VMEM((2, ky, zw), vol.dtype),
+            out_shape=jax.ShapeDtypeStruct((1, n_tiles * TR), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, 1, ky, zw), vol.dtype),
                 pltpu.VMEM((1, TR), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
-            **kw_static,
-        )(starts, rays_tiled, vol)
-        return untile(out, B, N)
+            interpret=interpret,
+        )(starts, ranges, rays_tiled, vol)
+        untile, _ = _tile_permutes(perm, B, N, TR, n_tiles_img)
+        return untile(out)
 
-    def render_fwd(volume, source, target, weights):
-        return render(volume, source, target, weights), (
-            volume, source, target, weights,
-        )
+    @jax.custom_vjp
+    def render(volume, source, target, weights, prepped):
+        B, N, _ = target.shape
+        vol, rays_tiled, starts, ranges = prepare(
+            volume, source, target, weights, prepped)
+        return run_fwd(vol, rays_tiled, starts, ranges, B, N)
+
+    def render_fwd(volume, source, target, weights, prepped):
+        B, N, _ = target.shape
+        vol, rays_tiled, starts, ranges = prepare(
+            volume, source, target, weights, prepped)
+        out = run_fwd(vol, rays_tiled, starts, ranges, B, N)
+        return out, (vol, rays_tiled, starts, ranges, source, target, weights)
 
     def render_bwd(res, gc):
-        volume, source, target, weights = res
+        vol, rays_tiled, starts, ranges, source, target, weights = res
         B, N, _ = target.shape
-        vol, rays_tiled, starts, n_tiles = prepare(volume, source, target, weights)
-        g_tiled = tile_g(gc, B, N)
+        n_tiles = rays_tiled.shape[1] // TR
+        _, tile_g = _tile_permutes(perm, B, N, TR, n_tiles_img)
+        g_tiled = tile_g(gc)
 
-        d_rays = _call(
-            _bwd_rays_kernel,
-            [pl.BlockSpec((1, TR), lambda t: (0, t), memory_space=pltpu.VMEM),
-             pl.BlockSpec(memory_space=pltpu.ANY)],
-            vol, rays_tiled, starts, n_tiles=n_tiles,
-            out_shape=jax.ShapeDtypeStruct((_NROWS, n_tiles * TR), jnp.float32),
-            out_block=pl.BlockSpec((_NROWS, TR), lambda t: (0, t),
+        kernel = functools.partial(_bwd_rays_kernel, **kw_static)
+        d_rays = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=_common_specs(n_planes, TR) + [
+                pl.BlockSpec((1, TR), lambda t: (0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((_NROWS, TR), lambda t: (0, t),
                                    memory_space=pltpu.VMEM),
-            scratch=[
-                pltpu.VMEM((2, ky, zw), vol.dtype),
+            out_shape=jax.ShapeDtypeStruct((_NROWS, n_tiles * TR), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, 1, ky, zw), vol.dtype),
                 pltpu.VMEM((8, TR), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
-            **kw_static,
-        )(starts, rays_tiled, g_tiled, vol)
+            interpret=interpret,
+        )(starts, ranges, rays_tiled, g_tiled, vol)
 
         dvol_init = jnp.zeros(vol.shape, jnp.float32)
-        d_vol_p = _call(
-            _bwd_vol_kernel,
-            [pl.BlockSpec((1, TR), lambda t: (0, t), memory_space=pltpu.VMEM),
-             pl.BlockSpec(memory_space=pltpu.ANY),
-             pl.BlockSpec(memory_space=pltpu.ANY)],
-            vol, rays_tiled, starts, n_tiles=n_tiles,
+        kernel = functools.partial(_bwd_vol_kernel, **kw_static)
+        d_vol_p = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=_common_specs(n_planes, TR) + [
+                pl.BlockSpec((1, TR), lambda t: (0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct(vol.shape, jnp.float32),
-            out_block=pl.BlockSpec(memory_space=pltpu.ANY),
-            scratch=[
-                pltpu.VMEM((2, ky, zw), jnp.float32),
-                pltpu.VMEM((2, ky, zw), jnp.float32),
+            input_output_aliases={5: 0},
+            scratch_shapes=[
+                pltpu.VMEM((2, 1, ky, zw), jnp.float32),
+                pltpu.VMEM((2, 1, ky, zw), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
-            aliases={4: 0},
-            **kw_static,
-        )(starts, rays_tiled, g_tiled, vol, dvol_init)
+            interpret=interpret,
+        )(starts, ranges, rays_tiled, g_tiled, vol, dvol_init)
 
         _, vjp_rays = jax.vjp(
             lambda s, t, w: _prep_rays(
@@ -517,8 +523,11 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
         )
         d_source, d_target, d_weights = vjp_rays(d_rays)
         Y0, Z0 = dims[other[0]], dims[other[1]]
-        d_vol = jnp.transpose(d_vol_p[:, :Y0, :Z0], inv_perm3)
-        return d_vol, d_source, d_target, d_weights
+        d_vol = jnp.transpose(d_vol_p[:X, :Y0, :Z0], inv_perm3)
+        # Symbolic-zero cotangent for the cache argument (see joseph.py).
+        d_prepped = (jnp.zeros_like(vol) if use_prepped
+                     else jnp.zeros((0,), jnp.float32))
+        return d_vol, d_source, d_target, d_weights, d_prepped
 
     render.defvjp(render_fwd, render_bwd)
     return render
@@ -541,21 +550,25 @@ def siddon_pallas_raycast(
     precision: str = "f32",
     storage: Optional[str] = None,
     interpret: bool = False,
+    prepped_vol: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Exact Siddon render via Pallas slab-march kernels, fwd + analytic bwd.
 
     Equivalent line integrals to :func:`diffdrr_tpu.ops.siddon.siddon_raycast`
     (the sort-based XLA oracle) for rays whose major direction component lies
-    along ``axis``; see the module docstring for the decomposition. Args
-    mirror :func:`diffdrr_tpu.ops.pallas.joseph.joseph_pallas_raycast`.
+    along ``axis`` (``max(|dy|,|dz|) <= |dx|`` per ray); see the module
+    docstring for the decomposition and validity domain. Args mirror
+    :func:`diffdrr_tpu.ops.pallas.joseph.joseph_pallas_raycast`.
     """
     B, N, _ = target.shape
     if weights is None:
         weights = jnp.ones((B, 1, N), volume.dtype)
     if zc is None:
         zc = zw - 128 if zw > 128 else zw
+    use_prepped = prepped_vol is not None
     fn = _make_siddon(
         volume.shape, tuple(image_shape), axis, voxel_shift, eps, tile, ky,
-        zw, zc, precision, storage, interpret,
+        zw, zc, precision, storage, interpret, use_prepped,
     )
-    return fn(volume, source, target, weights)
+    prepped = prepped_vol if use_prepped else jnp.zeros((0,), jnp.float32)
+    return fn(volume, source, target, weights, prepped)

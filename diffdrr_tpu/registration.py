@@ -298,8 +298,8 @@ def optimize_multiscale(
                 width=max(8, int(drr.detector.width * scale)),
                 delx=drr.detector.delx / scale,
                 dely=drr.detector.dely / scale,
-                x0=drr.detector.x0,
-                y0=drr.detector.y0,
+                x0=drr.detector._x0,
+                y0=drr.detector._y0,
                 renderer=drr.renderer_name,
                 voxel_shift=drr.voxel_shift,
                 reverse_x_axis=drr.detector.reverse_x_axis,

@@ -161,11 +161,11 @@ def test_oblique_poses_no_window_clipping():
         sv, tv = drr.affine_inverse(source), drr.affine_inverse(target)
         ax = choose_march_axis(np.asarray(sv), np.asarray(tv))
         ref = np.asarray(joseph_raycast(drr.density, sv, tv, weights, axis=ax))
+        tile, ky, zw, zc = drr.pallas_cfg[ax]
         got = np.asarray(
             joseph_pallas_raycast(
                 drr.density, sv, tv, weights, image_shape=(32, 32), axis=ax,
-                tile=drr.pallas_tile, ky=drr.pallas_ky, zw=drr.pallas_zw,
-                zc=drr.pallas_zc, interpret=True,
+                tile=tile, ky=ky, zw=zw, zc=zc, interpret=True,
             )
         )
         rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
