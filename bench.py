@@ -1,14 +1,23 @@
-"""Benchmark harness: rays/s on the reference's headline configuration.
+"""Benchmark harness: the north-star metric set on the reference's headline CT.
 
-Headline metric (BASELINE.md): Siddon-class render of a 200x200 DRR from the
+Headline metric (BASELINE.md): exact-Siddon render of a 200x200 DRR from the
 512x512x133 example chest CT. Reference: 24.6 ms on an RTX 2080 Ti
-= 1.626 M rays/s. Prints ONE JSON line with the measured value and the ratio
-vs that baseline.
+= 1.626 M rays/s. Prints ONE JSON line: the headline metric plus an
+``extra`` map carrying the full north-star set (BASELINE.md:38-40):
+
+  * siddon fwd and fwd+pose-bwd rays/s at 200^2
+  * siddon fwd rays/s at 1000^2 (vs the reference's patched 341 ms)
+  * joseph fwd rays/s at 200^2 (production plane-march renderer)
+  * trilinear(kernel) fwd rays/s at 200^2 (vs reference trilinear n=500,
+    7.63 ms)
+  * registration iterations/s at 200^2 (multiscale-NCC + Adam, on-device
+    lax.scan loop)
 
 Timing methodology: the axon TPU tunnel caches/async-dispatches identical
-calls, so naive wall-timing lies. We instead time a jitted K-iteration
+calls, so naive wall-timing lies. Every metric times a jitted K-iteration
 `lax.scan` whose pose input depends on the carry (no two renders identical),
-and report per-render time from the K-vs-1 difference.
+and reports per-iteration time from the K-vs-1 difference, median over
+several distinct fresh inputs.
 """
 
 import json
@@ -17,21 +26,26 @@ import time
 import numpy as np
 
 
-def _time_scan(render_scan, rot_variants, trans, iters):
-    """Median wall time of the scan over several DISTINCT pose inputs.
-
-    Never times a call whose inputs match a previous dispatch: the tunnel to
-    the TPU caches byte-identical (executable, inputs) pairs, which would
-    report a free render.
-    """
+def _time_scan(run, variants, iters):
+    """Median wall time over several DISTINCT inputs (defeats tunnel cache)."""
     times = []
-    for r in rot_variants:
+    for v in variants:
         t0 = time.perf_counter()
-        out = render_scan(r, trans, iters)
+        out = run(v, iters)
         out.block_until_ready()
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
+
+
+def _per_iter(run, rot0, iters=6, reps=3):
+    """Per-iteration seconds from the K-vs-1 scan difference."""
+    run(rot0, 1).block_until_ready()
+    run(rot0, 1 + iters).block_until_ready()
+    t1 = _time_scan(run, [rot0 + 1e-4 * (i + 1) for i in range(reps)], 1)
+    tk = _time_scan(run, [rot0 + 1e-4 * (i + 11) for i in range(reps)],
+                    1 + iters)
+    return max((tk - t1) / iters, 1e-9)
 
 
 def main():
@@ -41,55 +55,124 @@ def main():
 
     from diffdrr_tpu import DRR, load_example_ct
 
-    H = W = 200
     subject = load_example_ct(shape=(512, 512, 133))
-    # Apples-to-apples headline: exact Siddon (the reference's default and
-    # benchmark algorithm) via the Pallas slab-march kernel. The faster
-    # Joseph plane-march renderer (renderer="joseph") beats this by another
-    # ~30% at equal-or-better quality. The march axis is pinned statically
-    # for this AP geometry (the auto lax.switch path gives identical runtime
-    # but triples kernel compile time).
-    drr = DRR(subject, sdd=1020.0, height=H, delx=2.0, renderer="siddon")
-
     trans = jnp.asarray([[0.0, 850.0, 0.0]], jnp.float32)
     rot0 = jnp.asarray([[0.01, np.pi / 2 + 0.02, -0.01]], jnp.float32)
 
+    def render_scanner(drr, **kw):
+        @partial(jax.jit, static_argnames=("iters",))
+        def run(rot0, iters):
+            def body(carry, _):
+                rot, acc = carry
+                img = drr(rot, trans, parameterization="euler_angles",
+                          convention="ZXY", **kw)
+                rot = rot + 1e-6 * jnp.mean(img)  # defeat dispatch caching
+                return (rot, acc + jnp.mean(img)), None
+
+            (rot, acc), _ = jax.lax.scan(body, (rot0, jnp.float32(0.0)),
+                                         None, length=iters)
+            return acc
+
+        return run
+
+    def fwdbwd_scanner(drr, **kw):
+        @partial(jax.jit, static_argnames=("iters",))
+        def run(rot0, iters):
+            def loss(rot, trans):
+                img = drr(rot, trans, parameterization="euler_angles",
+                          convention="ZXY", **kw)
+                return jnp.mean(img)
+
+            def body(carry, _):
+                rot, acc = carry
+                val, g = jax.value_and_grad(loss)(rot, trans)
+                rot = rot + 1e-6 * val + 1e-9 * g  # consume both outputs
+                return (rot, acc + val), None
+
+            (rot, acc), _ = jax.lax.scan(body, (rot0, jnp.float32(0.0)),
+                                         None, length=iters)
+            return acc
+
+        return run
+
+    extra = {}
+
+    # --- 200^2 renderers (the common registration size) ---
+    n200 = 200 * 200
+    drr_s = DRR(subject, sdd=1020.0, height=200, delx=2.0, renderer="siddon")
+    t = _per_iter(render_scanner(drr_s, axis=2), rot0)
+    extra["siddon_fwd_200"] = {"ms": round(t * 1e3, 3),
+                               "rays_per_s": round(n200 / t, 1),
+                               "vs_baseline": round((24.6e-3) / t, 3)}
+    headline_rays = n200 / t
+
+    t = _per_iter(fwdbwd_scanner(drr_s, axis=2), rot0)
+    extra["siddon_fwd_posebwd_200"] = {"ms": round(t * 1e3, 3),
+                                       "rays_per_s": round(n200 / t, 1)}
+
+    drr_j = DRR(subject, sdd=1020.0, height=200, delx=2.0, renderer="joseph")
+    t = _per_iter(render_scanner(drr_j, axis=2), rot0)
+    extra["joseph_fwd_200"] = {"ms": round(t * 1e3, 3),
+                               "rays_per_s": round(n200 / t, 1)}
+
+    t = _per_iter(fwdbwd_scanner(drr_j, axis=2), rot0)
+    extra["joseph_fwd_posebwd_200"] = {"ms": round(t * 1e3, 3),
+                                       "rays_per_s": round(n200 / t, 1)}
+
+    drr_t = DRR(subject, sdd=1020.0, height=200, delx=2.0,
+                renderer="trilinear")
+    t = _per_iter(render_scanner(drr_t, axis=2, n_points=500), rot0)
+    extra["trilinear_kernel_fwd_200_n500"] = {
+        "ms": round(t * 1e3, 3), "rays_per_s": round(n200 / t, 1),
+        "vs_baseline": round(7.63e-3 / t, 3),
+        "note": "plane-aligned sampling capped at one sample/plane (133)",
+    }
+
+    # --- 1000^2 (the reference needs patch_size=250 here; we don't) ---
+    n1000 = 1000 * 1000
+    drr_L = DRR(subject, sdd=1020.0, height=1000, delx=0.4,
+                renderer="siddon")
+    t = _per_iter(render_scanner(drr_L, axis=2), rot0, iters=4, reps=3)
+    extra["siddon_fwd_1000"] = {"ms": round(t * 1e3, 3),
+                                "rays_per_s": round(n1000 / t, 1),
+                                "vs_baseline": round(341e-3 / t, 3)}
+
+    # --- registration iterations/s (the flagship loop, on-device scan) ---
+    from diffdrr_tpu.registration import make_registration_step
+
+    target = drr_s(rot0, trans, parameterization="euler_angles",
+                   convention="ZXY", axis=2)
+    init_fn, step_fn = make_registration_step(
+        drr_s, target, "euler_angles", "ZXY", lr_rotation=1e-3,
+        lr_translation=1e-1, axis=2,
+    )
+
     @partial(jax.jit, static_argnames=("iters",))
-    def render_scan(rot0, trans, iters):
+    def reg_run(rot_start, iters):
+        params, opt_state = init_fn(rot_start, trans + 5.0)
+
         def body(carry, _):
-            rot, acc = carry
-            img = drr(
-                rot, trans, parameterization="euler_angles", convention="ZXY",
-                axis=2,
-            )
-            # Make the next pose depend on this render: defeats caching.
-            rot = rot + 1e-6 * jnp.mean(img)
-            return (rot, acc + jnp.mean(img)), None
+            params, opt_state = carry
+            params, opt_state, score = step_fn(params, opt_state)
+            return (params, opt_state), score
 
-        (rot, acc), _ = jax.lax.scan(body, (rot0, jnp.float32(0.0)), None,
-                                     length=iters)
-        return acc
+        (params, _), scores = jax.lax.scan(body, (params, opt_state), None,
+                                           length=iters)
+        return jnp.sum(scores) + jnp.sum(params["rotation"])
 
-    # Compile both program shapes once (results discarded), then time each
-    # over distinct fresh inputs; per-render = (long - short) / extra iters.
-    k = 8
-    render_scan(rot0, trans, 1).block_until_ready()
-    render_scan(rot0, trans, 1 + k).block_until_ready()
-    variants = [rot0 + 1e-4 * (i + 1) for i in range(3)]
-    t1 = _time_scan(render_scan, variants, trans, 1)
-    variants = [rot0 + 1e-4 * (i + 11) for i in range(3)]
-    tk = _time_scan(render_scan, variants, trans, 1 + k)
-    per_render = max((tk - t1) / k, 1e-9)
+    t = _per_iter(reg_run, rot0 + 0.03, iters=6, reps=3)
+    extra["registration_iters_per_s_200"] = {"ms_per_iter": round(t * 1e3, 3),
+                                             "iters_per_s": round(1.0 / t, 2)}
 
-    rays_per_s = H * W / per_render
     baseline = 40_000 / 24.6e-3  # reference Siddon 200^2 on RTX 2080 Ti
     print(
         json.dumps(
             {
                 "metric": "siddon_render_rays_per_s_200x200_512ct",
-                "value": round(rays_per_s, 1),
+                "value": round(headline_rays, 1),
                 "unit": "rays/s",
-                "vs_baseline": round(rays_per_s / baseline, 3),
+                "vs_baseline": round(headline_rays / baseline, 3),
+                "extra": extra,
             }
         )
     )

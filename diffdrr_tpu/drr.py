@@ -127,7 +127,10 @@ class DRR:
         affine = np.asarray(subject.volume.affine, np.float32)[None]
         self._affine = jnp.asarray(affine)
         self._affine_inverse = jnp.asarray(np.linalg.inv(affine))
-        self.density = jnp.asarray(np.asarray(subject.density.data), jnp.float32)
+        self._density_host = np.asarray(
+            np.asarray(subject.density.data), np.float32
+        )
+        self.density = jnp.asarray(self._density_host)
         if subject.mask is not None:
             self.mask = jnp.asarray(
                 np.asarray(subject.mask.data), jnp.float32
@@ -173,7 +176,9 @@ class DRR:
 
         Re-run whenever the detector intrinsics change (``set_intrinsics_``).
         """
-        affine = np.asarray(self._affine[0], np.float64)
+        # Host-side affine: slicing the device array would dispatch an eager
+        # op over the TPU tunnel (observed multi-minute stalls).
+        affine = np.asarray(self.subject.volume.affine, np.float64)
         spacing = np.sqrt((affine[:3, :3] ** 2).sum(axis=0))  # (3,) mm/voxel
         dims = tuple(int(d) for d in self.density.shape)
         pitch = max(self.detector.delx, self.detector.dely)
@@ -206,7 +211,9 @@ class DRR:
         for axis in range(3):
             other = [d for d in range(3) if d != axis]
             best = None
-            for tile in (8, 16, 32):
+            # TR = tile^2 is the kernel block's lane dimension: Mosaic
+            # requires it to be a multiple of 128, so tiles below 16 are out.
+            for tile in (16, 32):
                 TR = tile * tile
                 # +2 placement slack, +15 start-alignment loss, 16-aligned
                 # size (covers the bf16 (16, 128) HBM tiling).
@@ -252,14 +259,25 @@ class DRR:
         backend = jax.default_backend()
         if (self._cache_volume and self.pallas_ok
                 and backend in ("tpu", "axon")):
-            from .ops.pallas.joseph import _prep_vol
+            # Host-side NumPy prep (transpose/cast/pad) + one device transfer
+            # per axis: eager device ops over the TPU tunnel each cost a
+            # compile + round trip, so nothing runs on-device here.
+            import ml_dtypes
 
+            dens = getattr(self, "_density_host", None)
+            if dens is None:
+                dens = np.asarray(self.density)
+            if self.pallas_storage == "bf16":
+                dens = dens.astype(ml_dtypes.bfloat16)
             pvols = []
             for axis in range(3):
                 tile, ky, zw, zc = self.pallas_cfg[axis]
                 perm3 = (axis,) + tuple(d for d in range(3) if d != axis)
-                pvols.append(_prep_vol(self.density, perm3, ky, zw,
-                                       self.pallas_storage, xpad=1))
+                v = np.transpose(dens, perm3)
+                ypad = max(0, ky - v.shape[1])
+                zpad = max(0, zw - v.shape[2])
+                v = np.pad(v, ((0, 1), (0, ypad), (0, zpad)))
+                pvols.append(jnp.asarray(v))
             self._pvols = tuple(pvols)
         else:
             self._pvols = (None, None, None)
@@ -329,6 +347,7 @@ class DRR:
         ) = aux
         obj.subject = subject_static.value
         obj.renderer_kwargs = dict(renderer_kwargs)
+        obj._density_host = None  # host copy not tracked through transforms
         return obj
 
     # -------------------------------------------------------------- properties
@@ -352,7 +371,8 @@ class DRR:
 
     def set_density(self, density: jnp.ndarray) -> None:
         """Replace the stored density and refresh the kernel volume caches."""
-        self.density = jnp.asarray(density, jnp.float32)
+        self._density_host = np.asarray(density, np.float32)
+        self.density = jnp.asarray(self._density_host)
         self._plan_pallas()
 
     def pallas_ray_compatibility(self, pose: RigidTransform):
@@ -435,7 +455,11 @@ class DRR:
             return False
         if opts.get("force_xla", False):
             return False
-        if mask_to_channels:
+        if mask_to_channels and (
+            self.renderer_name == "siddon" or self.mask is None
+        ):
+            # Per-structure channels run in-kernel for joseph/trilinear;
+            # exact Siddon with channels stays on the XLA oracle.
             return False
         if self.renderer_name == "siddon":
             return (
@@ -525,6 +549,9 @@ class DRR:
                     storage=self.pallas_storage,
                     prepped_vol=self._pvols[ax] if cached else None,
                 )
+                if mask_to_channels:
+                    common["mask"] = self.mask
+                    common["n_channels"] = self.n_channels
                 if self.renderer_name == "joseph":
                     from .ops.pallas.joseph import joseph_pallas_raycast
 

@@ -195,8 +195,44 @@ def _get_win(win_buf, slot, p, h, n_src_planes, blend):
     return w[0] * (1.0 - fx) + w[1] * fx
 
 
-def _read_range(range_ref):
-    return range_ref[0, 0], range_ref[0, 1]
+def _read_range(starts_ref):
+    """Per-tile active plane interval [lo, hi), packed as lo*65536+hi into
+    column 3 of plane 0 of the window-start table (a separate (1, 2) SMEM
+    input would violate the TPU block-shape divisibility rules)."""
+    v = starts_ref[0, 0, 3]
+    return v // 65536, jax.lax.rem(v, 65536)
+
+
+def _onehot_at(iota, pos):
+    """One-hot row selector: 1.0 where ``iota == round(pos)``."""
+    return (jnp.abs(iota - jnp.round(pos)) < 0.5).astype(jnp.float32)
+
+
+def _get_lab(lab_buf, slot, p, h, n_src_planes, blend):
+    """Nearest-plane label window (labels are never interpolated)."""
+    if not blend:
+        return lab_buf[slot, 0]
+    fx = _blend_fraction(p, h, n_src_planes)
+    w = lab_buf[slot]
+    return jnp.where(fx > 0.5, w[1], w[0])
+
+
+def _sample_labels(lab_buf, slot, p, h, n_src, blend, starts_ref, iota_y,
+                   iota_z, ry, rz, zc, precision):
+    """Per-ray nearest-voxel label at this plane's sample points (1, TR)."""
+    labwin = _get_lab(lab_buf, slot, p, h, n_src, blend)
+    labwin = _roll_window(labwin, starts_ref[0, p, 2], zc)
+    ez = _onehot_at(iota_z, rz)  # (ZC, TR)
+    ey = _onehot_at(iota_y, ry)  # (KY, TR)
+    lab_t = _dot(labwin, ez, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
+    return jnp.sum(ey * lab_t, axis=0, keepdims=True)
+
+
+def _channel_select(lab, n_ch_pad, tr):
+    """(C_pad, TR) one-hot of each ray's label."""
+    iota_c = jax.lax.broadcasted_iota(
+        jnp.int32, (n_ch_pad, tr), 0).astype(jnp.float32)
+    return (jnp.abs(iota_c - jnp.round(lab)) < 0.5).astype(jnp.float32)
 
 
 # =============================================================================
@@ -205,9 +241,14 @@ def _read_range(range_ref):
 
 
 def _fwd_kernel(
-    starts_ref, range_ref, rays_ref, vol_ref, out_ref, win_buf, acc_ref, sems,
-    *, h, ky, zw, zc, precision, blend,
+    *refs, h, ky, zw, zc, precision, blend, n_ch=None,
 ):
+    if n_ch is None:
+        (starts_ref, rays_ref, vol_ref, out_ref,
+         win_buf, acc_ref, sems) = refs
+    else:
+        (starts_ref, rays_ref, vol_ref, lab_ref, out_ref,
+         win_buf, lab_buf, acc_ref, sems, lab_sems) = refs
     tr = rays_ref.shape[1]
     n_src = vol_ref.shape[0]
     r = _ray_rows(rays_ref)
@@ -215,11 +256,16 @@ def _fwd_kernel(
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
     window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, h, ky,
                                   zw, blend)
-    lo, hi = _read_range(range_ref)
+    if n_ch is not None:
+        lab_dma = _make_window_dma(lab_ref, starts_ref, lab_buf, lab_sems, h,
+                                   ky, zw, blend)
+    lo, hi = _read_range(starts_ref)
 
     @pl.when(lo < hi)
     def _():
         window_dma(0, lo).start()
+        if n_ch is not None:
+            lab_dma(0, lo).start()
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -229,6 +275,8 @@ def _fwd_kernel(
         @pl.when(p + 1 < hi)
         def _():
             window_dma(jax.lax.rem(p + 1 - lo, 2), p + 1).start()
+            if n_ch is not None:
+                lab_dma(jax.lax.rem(p + 1 - lo, 2), p + 1).start()
 
         _, _, _, scale, ry, rz = _plane_geometry(r, p, h, starts_ref)
         wz = _tent(rz - iota_z) * scale  # (ZC, TR)
@@ -239,7 +287,17 @@ def _fwd_kernel(
         win = _roll_window(win, starts_ref[0, p, 2], zc)  # (KY, ZC)
 
         t1 = _dot(win, wz, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
-        acc_ref[...] += jnp.sum(t1 * wy, axis=0, keepdims=True)
+        contrib = jnp.sum(t1 * wy, axis=0, keepdims=True)  # (1, TR)
+        if n_ch is None:
+            acc_ref[...] += contrib
+        else:
+            lab_dma(slot, p).wait()
+            lab = _sample_labels(lab_buf, slot, p, h, n_src, blend,
+                                 starts_ref, iota_y, iota_z, ry, rz, zc,
+                                 precision)
+            # Zero-length samples must not vote for a channel.
+            lab = jnp.where(scale > 0.0, lab, -1.0)
+            acc_ref[...] += _channel_select(lab, acc_ref.shape[0], tr) * contrib
         return ()
 
     jax.lax.fori_loop(lo, hi, body, (), unroll=False)
@@ -252,9 +310,7 @@ def _fwd_kernel(
 
 
 def _bwd_rays_kernel(
-    starts_ref, range_ref, rays_ref, g_ref, vol_ref, dout_ref, win_buf,
-    acc_ref, sems,
-    *, h, ky, zw, zc, precision, blend,
+    *refs, h, ky, zw, zc, precision, blend, n_ch=None,
 ):
     """Accumulate d(loss)/d(packed ray rows) for one ray tile.
 
@@ -264,9 +320,16 @@ def _bwd_rays_kernel(
       dsc = sum_n tent(rz - n) * T2[n] * inslab
       dgy += dry; ddy += dry*alpha; dgz += drz; ddz += drz*alpha
       da  += (dry*dy + drz*dz) * k; db += (dry*dy + drz*dz)
-    g (the per-ray output cotangent) is constant across planes, so it is
-    applied once at the end.
+    In scalar mode the per-ray output cotangent g is constant across planes
+    and applied once at the end; in channel mode each plane's terms are
+    scaled by the cotangent of the channel its sample lands in (g-select).
     """
+    if n_ch is None:
+        (starts_ref, rays_ref, g_ref, vol_ref, dout_ref,
+         win_buf, acc_ref, sems) = refs
+    else:
+        (starts_ref, rays_ref, g_ref, vol_ref, lab_ref, dout_ref,
+         win_buf, lab_buf, acc_ref, sems, lab_sems) = refs
     tr = rays_ref.shape[1]
     n_src = vol_ref.shape[0]
     r = _ray_rows(rays_ref)
@@ -274,11 +337,16 @@ def _bwd_rays_kernel(
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
     window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, h, ky,
                                   zw, blend)
-    lo, hi = _read_range(range_ref)
+    if n_ch is not None:
+        lab_dma = _make_window_dma(lab_ref, starts_ref, lab_buf, lab_sems, h,
+                                   ky, zw, blend)
+    lo, hi = _read_range(starts_ref)
 
     @pl.when(lo < hi)
     def _():
         window_dma(0, lo).start()
+        if n_ch is not None:
+            lab_dma(0, lo).start()
 
     acc_ref[...] = jnp.zeros_like(acc_ref)  # (8, TR): a b gy dy gz dz sc pad
 
@@ -288,6 +356,8 @@ def _bwd_rays_kernel(
         @pl.when(p + 1 < hi)
         def _():
             window_dma(jax.lax.rem(p + 1 - lo, 2), p + 1).start()
+            if n_ch is not None:
+                lab_dma(jax.lax.rem(p + 1 - lo, 2), p + 1).start()
 
         k, alpha, inslab, scale, ry, rz = _plane_geometry(r, p, h, starts_ref)
         uy = ry - iota_y
@@ -308,6 +378,17 @@ def _bwd_rays_kernel(
         dsc = jnp.sum(wz0 * t2, axis=0, keepdims=True)
         dsc = jnp.where(inslab, dsc, 0.0)
 
+        if n_ch is not None:
+            lab_dma(slot, p).wait()
+            lab = _sample_labels(lab_buf, slot, p, h, n_src, blend,
+                                 starts_ref, iota_y, iota_z, ry, rz, zc,
+                                 precision)
+            sel = _channel_select(lab, g_ref.shape[0], tr)
+            gsel = jnp.sum(g_ref[...] * sel, axis=0, keepdims=True)
+            dry = dry * gsel
+            drz = drz * gsel
+            dsc = dsc * gsel
+
         dalpha = dry * r["dy"] + drz * r["dz"]
         acc_ref[0:1, :] += dalpha * k
         acc_ref[1:2, :] += dalpha
@@ -319,7 +400,7 @@ def _bwd_rays_kernel(
         return ()
 
     jax.lax.fori_loop(lo, hi, body, (), unroll=False)
-    g = g_ref[0:1, :]
+    g = 1.0 if n_ch is not None else g_ref[0:1, :]
     dout_ref[...] = jnp.zeros_like(dout_ref)
     dout_ref[_A : _A + 1, :] = acc_ref[0:1, :] * g
     dout_ref[_B : _B + 1, :] = acc_ref[1:2, :] * g
@@ -331,9 +412,7 @@ def _bwd_rays_kernel(
 
 
 def _bwd_vol_kernel(
-    starts_ref, range_ref, rays_ref, g_ref, vol_ref, dvol_in_ref, dvol_ref,
-    win_buf, dwin_buf, sems, store_sems,
-    *, h, ky, zw, zc, precision, blend,
+    *refs, h, ky, zw, zc, precision, blend, n_ch=None,
 ):
     """Accumulate d(loss)/d(volume): dWin = (wy * g) @ (wz*scale)^T per plane,
     read-modify-written into the aliased gradient volume.
@@ -341,7 +420,16 @@ def _bwd_vol_kernel(
     Integer stride: windows of distinct planes are disjoint and the grid is
     sequential, so the load/store pipeline double-buffers. Blend mode:
     adjacent plane-pair windows overlap in one plane, so each store completes
-    before the next load issues (serialized RMW)."""
+    before the next load issues (serialized RMW). Channel mode replaces the
+    constant per-ray g with the per-plane channel-selected cotangent."""
+    if n_ch is None:
+        (starts_ref, rays_ref, g_ref, vol_ref, dvol_in_ref,
+         dvol_ref, win_buf, dwin_buf, sems, store_sems) = refs
+        lab_ref = lab_buf = lab_sems = None
+    else:
+        (starts_ref, rays_ref, g_ref, vol_ref, lab_ref,
+         dvol_in_ref, dvol_ref, win_buf, dwin_buf, lab_buf, sems, store_sems,
+         lab_sems) = refs
     del vol_ref  # the forward volume is not needed for its gradient
     tr = rays_ref.shape[1]
     n_src = dvol_ref.shape[0]
@@ -349,8 +437,11 @@ def _bwd_vol_kernel(
     r = _ray_rows(rays_ref)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
-    g = g_ref[0:1, :]
-    lo, hi = _read_range(range_ref)
+    g = g_ref[0:1, :] if n_ch is None else None
+    if n_ch is not None:
+        lab_dma = _make_window_dma(lab_ref, starts_ref, lab_buf, lab_sems, h,
+                                   ky, zw, blend)
+    lo, hi = _read_range(starts_ref)
 
     def load_dma(slot, plane_idx):
         k = _plane_index(plane_idx, h, n_src, blend)
@@ -375,12 +466,28 @@ def _bwd_vol_kernel(
     @pl.when(lo < hi)
     def _():
         load_dma(0, lo).start()
+        if n_ch is not None:
+            lab_dma(0, lo).start()
 
     def body(p, _):
         slot = jax.lax.rem(p - lo, 2)
 
+        if n_ch is not None:
+            @pl.when(p + 1 < hi)
+            def _():
+                lab_dma(jax.lax.rem(p + 1 - lo, 2), p + 1).start()
+
         _, _, _, scale, ry, rz = _plane_geometry(r, p, h, starts_ref)
-        wyg = _tent(ry - iota_y) * g  # (KY, TR)
+        if n_ch is None:
+            gp = g
+        else:
+            lab_dma(slot, p).wait()
+            lab = _sample_labels(lab_buf, slot, p, h, n_src, blend,
+                                 starts_ref, iota_y, iota_z, ry, rz, zc,
+                                 precision)
+            sel = _channel_select(lab, g_ref.shape[0], tr)
+            gp = jnp.sum(g_ref[...] * sel, axis=0, keepdims=True)
+        wyg = _tent(ry - iota_y) * gp  # (KY, TR)
         wzs = _tent(rz - iota_z) * scale  # (ZC, TR)
         dwin = _dot(wyg, wzs, (((1,), (1,)), ((), ())), precision)  # (KY, ZC)
         if zc != zw:
@@ -534,17 +641,16 @@ def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
 def _compute_starts(rays_tiled, n_tiles, TR, n_planes, h, Y, Z, ky, zw, zc):
     """Per (tile, plane) window placement + per-tile active plane ranges.
 
-    Non-differentiable. Returns (starts, ranges):
+    Non-differentiable. Returns starts (n_tiles, n_planes, 4) int32, columns
+    [ystart (16-aligned), zstart_aligned (128-aligned), zshift, aux]
+    where the true z window is ``[zstart_aligned + zshift, + zc)`` and the
+    DMA fetches ``[zstart_aligned, + zw)``. Coverage invariants:
+    zshift <= zw - zc and the footprint fits in (ky, zc).
 
-      starts (n_tiles, n_planes, 4) int32, columns
-        [ystart (16-aligned), zstart_aligned (128-aligned), zshift, 0]
-      where the true z window is ``[zstart_aligned + zshift, + zc)`` and the
-      DMA fetches ``[zstart_aligned, + zw)``. Coverage invariants:
-      zshift <= zw - zc and the footprint fits in (ky, zc).
-
-      ranges (n_tiles, 2) int32: [lo, hi) — the contiguous interval of planes
-      where at least one of the tile's rays is inside the volume slab; the
-      kernels march only this interval.
+    The aux column of plane 0 packs the tile's active plane interval
+    [lo, hi) — the contiguous planes where at least one ray is inside the
+    volume slab — as ``lo * 65536 + hi``; the kernels march only this
+    interval (see ``_read_range``).
     """
     rt = jax.lax.stop_gradient(rays_tiled).reshape(_NROWS, n_tiles, TR)
     big = jnp.float32(1e9)
@@ -579,7 +685,6 @@ def _compute_starts(rays_tiled, n_tiles, TR, n_planes, h, Y, Z, ky, zw, zc):
     lo = jnp.min(jnp.where(active, idx, n_planes), axis=1).astype(jnp.int32)
     hi = (jnp.max(jnp.where(active, idx, -1), axis=1) + 1).astype(jnp.int32)
     hi = jnp.maximum(hi, lo)
-    ranges = jnp.stack([lo, hi], axis=-1)
 
     ystart = jnp.clip(jnp.floor(y_min) - 2, 0, Y - ky).astype(jnp.int32)
     # 16-alignment covers both f32 (8, 128) and bf16 (16, 128) HBM tilings.
@@ -587,8 +692,8 @@ def _compute_starts(rays_tiled, n_tiles, TR, n_planes, h, Y, Z, ky, zw, zc):
     zdes = jnp.clip(jnp.floor(z_min) - 2, 0, max(0, Z - zc)).astype(jnp.int32)
     zal = jnp.minimum((zdes // 128) * 128, max(0, Z - zw))
     zshift = zdes - zal
-    zero = jnp.zeros_like(ystart)
-    return jnp.stack([ystart, zal, zshift, zero], axis=-1), ranges
+    aux = jnp.zeros_like(ystart).at[:, 0].set(lo * 65536 + hi)
+    return jnp.stack([ystart, zal, zshift, aux], axis=-1)
 
 
 # =============================================================================
@@ -600,108 +705,152 @@ def _common_specs(n_planes, TR):
     return [
         pl.BlockSpec((1, n_planes, 4), lambda t: (t, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 2), lambda t: (t, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((_NROWS, TR), lambda t: (0, t), memory_space=pltpu.VMEM),
     ]
 
 
-def _fwd_call(vol, rays_tiled, starts, ranges, *, n_tiles, TR, n_planes, h,
-              ky, zw, zc, precision, blend, interpret):
+def _fwd_call(vol, rays_tiled, starts, lab, *, n_tiles, TR, n_planes,
+              h, ky, zw, zc, precision, blend, n_ch, interpret):
     kernel = functools.partial(
         _fwd_kernel, h=h, ky=ky, zw=zw, zc=zc, precision=precision,
-        blend=blend,
+        blend=blend, n_ch=n_ch,
     )
     xp = 2 if blend else 1
+    rows = 1 if n_ch is None else -(-n_ch // 8) * 8
+    lab_in = [] if n_ch is None else [pl.BlockSpec(memory_space=pl.ANY)]
+    lab_scratch = [] if n_ch is None else [
+        pltpu.VMEM((2, xp, ky, zw), lab.dtype)]
+    lab_sems = [] if n_ch is None else [pltpu.SemaphoreType.DMA((2,))]
+    args = (starts, rays_tiled, vol) + (() if n_ch is None else (lab,))
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=_common_specs(n_planes, TR) + [
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, TR), lambda t: (0, t),
+        ] + lab_in,
+        out_specs=pl.BlockSpec((rows, TR), lambda t: (0, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, n_tiles * TR), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, n_tiles * TR), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, xp, ky, zw), vol.dtype),
-            pltpu.VMEM((1, TR), jnp.float32),
+        ] + lab_scratch + [
+            pltpu.VMEM((rows, TR), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + lab_sems,
         interpret=interpret,
-    )(starts, ranges, rays_tiled, vol)
+    )(*args)
 
 
-def _bwd_rays_call(vol, rays_tiled, starts, ranges, g_tiled, *, n_tiles, TR,
-                   n_planes, h, ky, zw, zc, precision, blend, interpret):
+def _bwd_rays_call(vol, rays_tiled, starts, g_tiled, lab, *, n_tiles,
+                   TR, n_planes, h, ky, zw, zc, precision, blend, n_ch,
+                   interpret):
     kernel = functools.partial(
         _bwd_rays_kernel, h=h, ky=ky, zw=zw, zc=zc, precision=precision,
-        blend=blend,
+        blend=blend, n_ch=n_ch,
     )
     xp = 2 if blend else 1
+    rows = 1 if n_ch is None else -(-n_ch // 8) * 8
+    lab_in = [] if n_ch is None else [pl.BlockSpec(memory_space=pl.ANY)]
+    lab_scratch = [] if n_ch is None else [
+        pltpu.VMEM((2, xp, ky, zw), lab.dtype)]
+    lab_sems = [] if n_ch is None else [pltpu.SemaphoreType.DMA((2,))]
+    args = (starts, rays_tiled, g_tiled, vol) + (
+        () if n_ch is None else (lab,))
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=_common_specs(n_planes, TR) + [
-            pl.BlockSpec((1, TR), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, TR), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + lab_in,
         out_specs=pl.BlockSpec((_NROWS, TR), lambda t: (0, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((_NROWS, n_tiles * TR), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, xp, ky, zw), vol.dtype),
+        ] + lab_scratch + [
             pltpu.VMEM((8, TR), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + lab_sems,
         interpret=interpret,
-    )(starts, ranges, rays_tiled, g_tiled, vol)
+    )(*args)
 
 
-def _bwd_vol_call(vol, rays_tiled, starts, ranges, g_tiled, *, n_tiles, TR,
-                  n_planes, h, ky, zw, zc, precision, blend, interpret):
+def _bwd_vol_call(vol, rays_tiled, starts, g_tiled, lab, *, n_tiles,
+                  TR, n_planes, h, ky, zw, zc, precision, blend, n_ch,
+                  interpret):
     kernel = functools.partial(
         _bwd_vol_kernel, h=h, ky=ky, zw=zw, zc=zc, precision=precision,
-        blend=blend,
+        blend=blend, n_ch=n_ch,
     )
     xp = 2 if blend else 1
+    rows = 1 if n_ch is None else -(-n_ch // 8) * 8
     dvol_init = jnp.zeros(vol.shape, jnp.float32)
+    lab_in = [] if n_ch is None else [pl.BlockSpec(memory_space=pl.ANY)]
+    lab_scratch = [] if n_ch is None else [
+        pltpu.VMEM((2, xp, ky, zw), lab.dtype)]
+    lab_sems = [] if n_ch is None else [pltpu.SemaphoreType.DMA((2,))]
+    args = (starts, rays_tiled, g_tiled, vol) + (
+        () if n_ch is None else (lab,)) + (dvol_init,)
+    alias_idx = 4 if n_ch is None else 5
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=_common_specs(n_planes, TR) + [
-            pl.BlockSpec((1, TR), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, TR), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # fwd volume (unused)
+        ] + lab_in + [
             pl.BlockSpec(memory_space=pl.ANY),  # dvol accumulator (aliased)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(vol.shape, jnp.float32),
-        input_output_aliases={5: 0},
+        input_output_aliases={alias_idx: 0},
         scratch_shapes=[
             pltpu.VMEM((2, xp, ky, zw), jnp.float32),
             pltpu.VMEM((2, xp, ky, zw), jnp.float32),
+        ] + lab_scratch + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + lab_sems,
         interpret=interpret,
-    )(starts, ranges, rays_tiled, g_tiled, vol, dvol_init)
+    )(*args)
 
 
-def _tile_permutes(perm, B, N, TR, n_tiles_img):
-    """Vectorized tiled-order <-> row-major maps for outputs/cotangents."""
+def _tile_permutes(perm, B, N, TR, n_tiles_img, n_ch=None):
+    """Vectorized tiled-order <-> row-major maps for outputs/cotangents.
+
+    Scalar mode maps (1, cols) <-> (B, 1, N); channel mode maps
+    (C_pad, cols) <-> (B, n_ch, N).
+    """
     perm_j = jnp.asarray(perm)
     safe = jnp.maximum(perm_j, 0)
     inv = np.zeros(N, np.int64)
     inv[perm[perm >= 0]] = np.nonzero(perm >= 0)[0]
     inv_j = jnp.asarray(inv)
+    rows = 1 if n_ch is None else -(-n_ch // 8) * 8
 
     def untile(out_tiled):
-        out_tiled = out_tiled.reshape(B, n_tiles_img * TR)
-        return out_tiled[:, inv_j][:, None, :]
+        if n_ch is None:
+            out_tiled = out_tiled.reshape(B, n_tiles_img * TR)
+            return out_tiled[:, inv_j][:, None, :]
+        out_tiled = out_tiled.reshape(rows, B, n_tiles_img * TR)
+        out = out_tiled[:, :, inv_j]  # (rows, B, N)
+        return jnp.moveaxis(out, 0, 1)[:, :n_ch, :]
 
     def tile_g(g):
-        g2 = g.reshape(B, N)
-        out = g2[:, safe]  # (B, padded)
-        out = jnp.where(perm_j[None, :] >= 0, out, 0.0)
-        return out.reshape(1, -1)
+        if n_ch is None:
+            g2 = g.reshape(B, N)
+            out = g2[:, safe]  # (B, padded)
+            out = jnp.where(perm_j[None, :] >= 0, out, 0.0)
+            return out.reshape(1, -1)
+        g3 = jnp.moveaxis(g.reshape(B, n_ch, N), 1, 0)  # (n_ch, B, N)
+        if rows != n_ch:
+            g3 = jnp.pad(g3, ((0, rows - n_ch), (0, 0), (0, 0)))
+        out = g3[:, :, safe]  # (rows, B, padded)
+        out = jnp.where(perm_j[None, None, :] >= 0, out, 0.0)
+        return out.reshape(rows, -1)
 
     return untile, tile_g
 
@@ -709,7 +858,7 @@ def _tile_permutes(perm, B, N, TR, n_tiles_img):
 @functools.lru_cache(maxsize=64)
 def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
                  ky, zw, zc, precision, storage, interpret,
-                 use_prepped=False):
+                 use_prepped=False, n_ch=None):
     """Build the custom-VJP render function for one static configuration.
 
     ``h`` is the (possibly fractional) marching stride in planes; sampling
@@ -722,6 +871,10 @@ def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
     attributed to the raw ``volume`` argument (the caller maintains the
     invariant ``prepped == _prep_vol(volume)``); the ``prepped`` cotangent is
     symbolic zero.
+
+    ``n_ch``: per-structure channel rendering (reference renderers.py:74-89):
+    each sample's contribution lands in the channel given by its
+    nearest-voxel label in the mask argument; output is (B, n_ch, N).
     """
     H, W = image_shape
     other = tuple(d for d in range(3) if d != axis)
@@ -732,59 +885,63 @@ def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
     perm, n_tiles_img, padded = _plan_tiles_cached(H, W, tile)
     TR = tile * tile
 
-    def prepare(volume, source, target, weights, prepped):
+    def prepare(volume, source, target, weights, prepped, mask):
         B, N, _ = target.shape
         if use_prepped:
             vol = prepped
         else:
             vol = _prep_vol(volume, perm3, ky, zw, storage, xpad)
+        lab = (None if n_ch is None
+               else _prep_vol(mask, perm3, ky, zw, storage, xpad))
         rays_tiled = _prep_rays(
             source, target, weights, perm3, dims, H, W, tile, voxel_shift,
             h, eps,
         )
         n_tiles = B * n_tiles_img
-        starts, ranges = _compute_starts(
+        starts = _compute_starts(
             rays_tiled, n_tiles, TR, n_steps, h, vol.shape[1],
             vol.shape[2], ky, zw, zc,
         )
-        return vol, rays_tiled, starts, ranges
+        return vol, lab, rays_tiled, starts
 
     kw = dict(TR=TR, n_planes=n_steps, h=h, ky=ky, zw=zw, zc=zc,
-              precision=precision, blend=blend, interpret=interpret)
+              precision=precision, blend=blend, n_ch=n_ch,
+              interpret=interpret)
 
-    def run_fwd(vol, rays_tiled, starts, ranges, B, N):
+    def run_fwd(vol, lab, rays_tiled, starts, B, N):
         n_tiles = rays_tiled.shape[1] // TR
-        out = _fwd_call(vol, rays_tiled, starts, ranges, n_tiles=n_tiles, **kw)
-        untile, _ = _tile_permutes(perm, B, N, TR, n_tiles_img)
+        out = _fwd_call(vol, rays_tiled, starts, lab,
+                        n_tiles=n_tiles, **kw)
+        untile, _ = _tile_permutes(perm, B, N, TR, n_tiles_img, n_ch)
         return untile(out)
 
     @jax.custom_vjp
-    def render(volume, source, target, weights, prepped):
+    def render(volume, source, target, weights, prepped, mask):
         B, N, _ = target.shape
-        vol, rays_tiled, starts, ranges = prepare(
-            volume, source, target, weights, prepped)
-        return run_fwd(vol, rays_tiled, starts, ranges, B, N)
+        vol, lab, rays_tiled, starts = prepare(
+            volume, source, target, weights, prepped, mask)
+        return run_fwd(vol, lab, rays_tiled, starts, B, N)
 
-    def render_fwd(volume, source, target, weights, prepped):
+    def render_fwd(volume, source, target, weights, prepped, mask):
         B, N, _ = target.shape
-        vol, rays_tiled, starts, ranges = prepare(
-            volume, source, target, weights, prepped)
-        out = run_fwd(vol, rays_tiled, starts, ranges, B, N)
+        vol, lab, rays_tiled, starts = prepare(
+            volume, source, target, weights, prepped, mask)
+        out = run_fwd(vol, lab, rays_tiled, starts, B, N)
         # The prepared arrays ride as residuals: backward never re-runs the
         # window-start precompute or the volume transpose.
-        return out, (vol, rays_tiled, starts, ranges, source, target, weights)
+        return out, (vol, lab, rays_tiled, starts, source, target, weights)
 
     def render_bwd(res, g):
-        vol, rays_tiled, starts, ranges, source, target, weights = res
+        vol, lab, rays_tiled, starts, source, target, weights = res
         B, N, _ = target.shape
         n_tiles = rays_tiled.shape[1] // TR
-        _, tile_g = _tile_permutes(perm, B, N, TR, n_tiles_img)
+        _, tile_g = _tile_permutes(perm, B, N, TR, n_tiles_img, n_ch)
         g_tiled = tile_g(g)
 
-        d_rays = _bwd_rays_call(vol, rays_tiled, starts, ranges, g_tiled,
-                                n_tiles=n_tiles, **kw)
-        d_vol_p = _bwd_vol_call(vol, rays_tiled, starts, ranges, g_tiled,
-                                n_tiles=n_tiles, **kw)
+        d_rays = _bwd_rays_call(vol, rays_tiled, starts, g_tiled,
+                                lab, n_tiles=n_tiles, **kw)
+        d_vol_p = _bwd_vol_call(vol, rays_tiled, starts, g_tiled,
+                                lab, n_tiles=n_tiles, **kw)
 
         # Map packed-row cotangents back through the (differentiable) ray
         # packing, and the padded/permuted volume back to the original.
@@ -798,11 +955,12 @@ def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
         Y0, Z0 = dims[other[0]], dims[other[1]]
         X0 = dims[axis]
         d_vol = jnp.transpose(d_vol_p[:X0, :Y0, :Z0], inv_perm3)
-        # Symbolic-zero cotangent for the cache argument: the full gradient
-        # is already attributed to ``volume`` (XLA folds the zeros away).
+        # Symbolic-zero cotangents for the cache and (integer-valued) mask.
         d_prepped = (jnp.zeros_like(vol) if use_prepped
                      else jnp.zeros((0,), jnp.float32))
-        return d_vol, d_source, d_target, d_weights, d_prepped
+        d_mask = (jnp.zeros(dims, jnp.float32) if n_ch is not None
+                  else jnp.zeros((0,), jnp.float32))
+        return d_vol, d_source, d_target, d_weights, d_prepped, d_mask
 
     render.defvjp(render_fwd, render_bwd)
     return render
@@ -828,6 +986,8 @@ def joseph_pallas_raycast(
     storage: Optional[str] = None,
     interpret: bool = False,
     prepped_vol: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    n_channels: Optional[int] = None,
 ) -> jnp.ndarray:
     """Joseph plane-march render via Pallas TPU kernels, fwd + analytic bwd.
 
@@ -845,10 +1005,14 @@ def joseph_pallas_raycast(
         axes; ky is 16-aligned, zw 128-aligned (HBM tile grid). Must cover one
         tile's in-plane footprint plus alignment slack (127 along z) — the
         DRR orchestrator derives them from its geometry.
+      mask / n_channels: per-structure channel rendering — each sample lands
+        in the channel of its nearest-voxel label (reference
+        renderers.py:74-89); output becomes (B, n_channels, N).
 
-    Returns (B, 1, N) line integrals. Differentiable w.r.t. volume, source,
-    target, and weights (analytic VJP kernels; the volume-gradient pass is
-    dead-code-eliminated when only pose gradients are required).
+    Returns (B, 1, N) line integrals ((B, C, N) with a mask). Differentiable
+    w.r.t. volume, source, target, and weights (analytic VJP kernels; the
+    volume-gradient pass is dead-code-eliminated when only pose gradients are
+    required).
     """
     B, N, _ = target.shape
     if weights is None:
@@ -859,9 +1023,12 @@ def joseph_pallas_raycast(
     if n_steps is None:
         n_steps = int(-(-volume.shape[axis] // h))
     use_prepped = prepped_vol is not None
+    n_ch = int(n_channels) if mask is not None else None
     fn = _make_joseph(
         volume.shape, tuple(image_shape), axis, h, int(n_steps), voxel_shift,
         eps, tile, ky, zw, zc, precision, storage, interpret, use_prepped,
+        n_ch,
     )
     prepped = prepped_vol if use_prepped else jnp.zeros((0,), jnp.float32)
-    return fn(volume, source, target, weights, prepped)
+    lab = mask if mask is not None else jnp.zeros((0,), jnp.float32)
+    return fn(volume, source, target, weights, prepped, lab)

@@ -59,6 +59,8 @@ def raymarch_pallas_raycast(
     storage: Optional[str] = None,
     interpret: bool = False,
     prepped_vol: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    n_channels: Optional[int] = None,
 ) -> jnp.ndarray:
     """Trilinear ray-march render via Pallas plane-lerp kernels.
 
@@ -81,10 +83,12 @@ def raymarch_pallas_raycast(
     n_steps = max(n_steps, 2)
     h = (X - 1) / (n_steps - 1)
     use_prepped = prepped_vol is not None
+    n_ch = int(n_channels) if mask is not None else None
     fn = _make_joseph(
         volume.shape, tuple(image_shape), axis, float(h), n_steps,
         voxel_shift, eps, tile, ky, zw, zc, precision, storage, interpret,
-        use_prepped,
+        use_prepped, n_ch,
     )
     prepped = prepped_vol if use_prepped else jnp.zeros((0,), jnp.float32)
-    return fn(volume, source, target, weights, prepped)
+    lab = mask if mask is not None else jnp.zeros((0,), jnp.float32)
+    return fn(volume, source, target, weights, prepped, lab)

@@ -141,7 +141,7 @@ def _onehot(iota, pos):
 
 
 def _fwd_kernel(
-    starts_ref, range_ref, rays_ref, vol_ref, out_ref, win_buf, acc_ref, sems,
+    starts_ref, rays_ref, vol_ref, out_ref, win_buf, acc_ref, sems,
     *, ky, zw, zc, precision,
 ):
     tr = rays_ref.shape[1]
@@ -149,7 +149,7 @@ def _fwd_kernel(
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
     window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, 1, ky, zw)
-    lo, hi = _read_range(range_ref)
+    lo, hi = _read_range(starts_ref)
 
     @pl.when(lo < hi)
     def _():
@@ -191,7 +191,7 @@ def _fwd_kernel(
 
 
 def _bwd_rays_kernel(
-    starts_ref, range_ref, rays_ref, g_ref, vol_ref, dout_ref, win_buf,
+    starts_ref, rays_ref, g_ref, vol_ref, dout_ref, win_buf,
     acc_ref, sems,
     *, ky, zw, zc, precision,
 ):
@@ -209,7 +209,7 @@ def _bwd_rays_kernel(
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
     window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, 1, ky, zw)
-    lo, hi = _read_range(range_ref)
+    lo, hi = _read_range(starts_ref)
 
     @pl.when(lo < hi)
     def _():
@@ -318,7 +318,7 @@ def _bwd_rays_kernel(
 
 
 def _bwd_vol_kernel(
-    starts_ref, range_ref, rays_ref, g_ref, vol_ref, dvol_in_ref, dvol_ref,
+    starts_ref, rays_ref, g_ref, vol_ref, dvol_in_ref, dvol_ref,
     win_buf, dwin_buf, sems, store_sems,
     *, ky, zw, zc, precision,
 ):
@@ -328,7 +328,7 @@ def _bwd_vol_kernel(
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
     g = g_ref[0:1, :]
-    lo, hi = _read_range(range_ref)
+    lo, hi = _read_range(starts_ref)
 
     def load_dma(slot, s):
         ys = pl.multiple_of(starts_ref[0, s, 0], 16)
@@ -420,15 +420,15 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
             1, eps, quadrature="siddon",
         )
         n_tiles = B * n_tiles_img
-        starts, ranges = _compute_starts(
+        starts = _compute_starts(
             rays_tiled, n_tiles, TR, n_planes, 1, vol.shape[1], vol.shape[2],
             ky, zw, zc,
         )
-        return vol, rays_tiled, starts, ranges
+        return vol, rays_tiled, starts
 
     kw_static = dict(ky=ky, zw=zw, zc=zc, precision=precision)
 
-    def run_fwd(vol, rays_tiled, starts, ranges, B, N):
+    def run_fwd(vol, rays_tiled, starts, B, N):
         n_tiles = rays_tiled.shape[1] // TR
         kernel = functools.partial(_fwd_kernel, **kw_static)
         out = pl.pallas_call(
@@ -446,26 +446,26 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
-        )(starts, ranges, rays_tiled, vol)
+        )(starts, rays_tiled, vol)
         untile, _ = _tile_permutes(perm, B, N, TR, n_tiles_img)
         return untile(out)
 
     @jax.custom_vjp
     def render(volume, source, target, weights, prepped):
         B, N, _ = target.shape
-        vol, rays_tiled, starts, ranges = prepare(
+        vol, rays_tiled, starts = prepare(
             volume, source, target, weights, prepped)
-        return run_fwd(vol, rays_tiled, starts, ranges, B, N)
+        return run_fwd(vol, rays_tiled, starts, B, N)
 
     def render_fwd(volume, source, target, weights, prepped):
         B, N, _ = target.shape
-        vol, rays_tiled, starts, ranges = prepare(
+        vol, rays_tiled, starts = prepare(
             volume, source, target, weights, prepped)
-        out = run_fwd(vol, rays_tiled, starts, ranges, B, N)
-        return out, (vol, rays_tiled, starts, ranges, source, target, weights)
+        out = run_fwd(vol, rays_tiled, starts, B, N)
+        return out, (vol, rays_tiled, starts, source, target, weights)
 
     def render_bwd(res, gc):
-        vol, rays_tiled, starts, ranges, source, target, weights = res
+        vol, rays_tiled, starts, source, target, weights = res
         B, N, _ = target.shape
         n_tiles = rays_tiled.shape[1] // TR
         _, tile_g = _tile_permutes(perm, B, N, TR, n_tiles_img)
@@ -489,7 +489,7 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
-        )(starts, ranges, rays_tiled, g_tiled, vol)
+        )(starts, rays_tiled, g_tiled, vol)
 
         dvol_init = jnp.zeros(vol.shape, jnp.float32)
         kernel = functools.partial(_bwd_vol_kernel, **kw_static)
@@ -504,7 +504,7 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct(vol.shape, jnp.float32),
-            input_output_aliases={5: 0},
+            input_output_aliases={4: 0},
             scratch_shapes=[
                 pltpu.VMEM((2, 1, ky, zw), jnp.float32),
                 pltpu.VMEM((2, 1, ky, zw), jnp.float32),
@@ -512,7 +512,7 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
-        )(starts, ranges, rays_tiled, g_tiled, vol, dvol_init)
+        )(starts, rays_tiled, g_tiled, vol, dvol_init)
 
         _, vjp_rays = jax.vjp(
             lambda s, t, w: _prep_rays(

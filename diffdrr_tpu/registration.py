@@ -18,9 +18,11 @@ TPU-native reimplementation of the reference's registration layer
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import optax
 
@@ -34,6 +36,8 @@ __all__ = [
     "N_ANGULAR_COMPONENTS",
     "make_registration_step",
     "optimize",
+    "optimize_until",
+    "optimize_multiscale",
 ]
 
 N_ANGULAR_COMPONENTS = {
@@ -112,6 +116,41 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _sgd_momentum(
+    learning_rate: float,
+    momentum: float = 0.0,
+    dampening: float = 0.0,
+    nesterov: bool = False,
+):
+    """torch.optim.SGD-compatible transform (momentum + dampening).
+
+    optax.sgd lacks the dampening term the reference experiments sweep
+    (experiments/registration.py:84-95: momentum=0.9, dampening=0.9);
+    buf = momentum * buf + (1 - dampening) * grad.
+    """
+    if momentum == 0.0:
+        return optax.sgd(learning_rate)
+
+    def init(params):
+        return jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def update(updates, state, params=None):
+        del params
+        buf = jax.tree_util.tree_map(
+            lambda b, g: momentum * b + (1.0 - dampening) * g, state, updates
+        )
+        if nesterov:
+            out = jax.tree_util.tree_map(
+                lambda g, b: g + momentum * b, updates, buf
+            )
+        else:
+            out = buf
+        out = jax.tree_util.tree_map(lambda g: -learning_rate * g, out)
+        return out, buf
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_registration_step(
     drr: DRR,
     target_img: jnp.ndarray,
@@ -121,33 +160,22 @@ def make_registration_step(
     lr_rotation: float = 5e-2,
     lr_translation: float = 1e0,
     optimizer: str = "adam",
+    momentum: float = 0.0,
+    dampening: float = 0.0,
     maximize: bool = True,
     **render_kwargs,
 ):
     """Build (init_fn, step_fn) for a jit-compiled registration loop.
 
-    The optimizer applies split learning rates to the rotation and translation
-    parameter groups (reference: experiments/registration.py:74-116), and
-    ``maximize=True`` ascends similarity metrics like NCC.
+    Optimizers match the reference experiment sweep
+    (experiments/registration.py:74-116): ``"adam"``, ``"sgd"`` (with
+    ``momentum``/``dampening``), and ``"lbfgs"`` (optax L-BFGS with zoom
+    linesearch; learning rates are ignored — the linesearch sets the step).
+    Adam/SGD apply split learning rates to the rotation and translation
+    parameter groups; ``maximize=True`` ascends similarity metrics like NCC.
     """
     if metric is None:
         metric = MultiscaleNormalizedCrossCorrelation2d([None, 13], [0.5, 0.5])
-
-    opt_cls = {"adam": optax.adam, "sgd": optax.sgd}[optimizer]
-    tx = optax.multi_transform(
-        {
-            "rotation": opt_cls(lr_rotation),
-            "translation": opt_cls(lr_translation),
-        },
-        {"rotation": "rotation", "translation": "translation"},
-    )
-
-    def init_fn(rotation: jnp.ndarray, translation: jnp.ndarray):
-        params = {
-            "rotation": jnp.asarray(rotation),
-            "translation": jnp.asarray(translation),
-        }
-        return params, tx.init(params)
 
     def loss_fn(params):
         img = drr(
@@ -160,13 +188,49 @@ def make_registration_step(
         score = jnp.mean(metric(img, target_img))
         return -score if maximize else score
 
-    @jax.jit
-    def step_fn(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        score = -loss if maximize else loss
-        return params, opt_state, score
+    if optimizer == "lbfgs":
+        tx = optax.lbfgs()
+    else:
+        opt_cls = {
+            "adam": optax.adam,
+            "sgd": partial(_sgd_momentum, momentum=momentum,
+                           dampening=dampening),
+        }[optimizer]
+        tx = optax.multi_transform(
+            {
+                "rotation": opt_cls(lr_rotation),
+                "translation": opt_cls(lr_translation),
+            },
+            {"rotation": "rotation", "translation": "translation"},
+        )
+
+    def init_fn(rotation: jnp.ndarray, translation: jnp.ndarray):
+        params = {
+            "rotation": jnp.asarray(rotation),
+            "translation": jnp.asarray(translation),
+        }
+        return params, tx.init(params)
+
+    if optimizer == "lbfgs":
+        @jax.jit
+        def step_fn(params, opt_state):
+            value_and_grad = optax.value_and_grad_from_state(loss_fn)
+            loss, grads = value_and_grad(params, state=opt_state)
+            updates, opt_state = tx.update(
+                grads, opt_state, params, value=loss, grad=grads,
+                value_fn=loss_fn,
+            )
+            params = optax.apply_updates(params, updates)
+            score = -loss if maximize else loss
+            return params, opt_state, score
+    else:
+        @jax.jit
+        def step_fn(params, opt_state):
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            score = -loss if maximize else loss
+            return params, opt_state, score
 
     return init_fn, step_fn
 
@@ -180,20 +244,101 @@ def optimize(
     convention: Optional[str] = None,
     n_iters: int = 100,
     verbose: bool = False,
+    scan: Optional[bool] = None,
     **kwargs,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, list]:
-    """Run an iterative registration; returns (rotation, translation, trace)."""
+    """Run an iterative registration; returns (rotation, translation, trace).
+
+    By default the whole loop runs on-device as one jitted ``lax.scan`` —
+    a single dispatch and a single host sync for the full trace (the
+    per-iteration ``float()`` sync would dominate on a remote TPU).
+    ``verbose=True`` (or ``scan=False``) uses a per-step Python loop.
+    """
     init_fn, step_fn = make_registration_step(
         drr, target_img, parameterization, convention, **kwargs
     )
     params, opt_state = init_fn(rotation, translation)
-    trace = []
-    for it in range(n_iters):
-        params, opt_state, score = step_fn(params, opt_state)
-        trace.append(float(score))
-        if verbose:
-            print(f"iter {it:4d}  score {trace[-1]:.5f}")
+    if scan is None:
+        scan = not verbose
+    if scan:
+        def body(carry, _):
+            params, opt_state = carry
+            params, opt_state, score = step_fn(params, opt_state)
+            return (params, opt_state), score
+
+        @partial(jax.jit, static_argnames=("n",))
+        def run(params, opt_state, n):
+            (params, opt_state), scores = jax.lax.scan(
+                body, (params, opt_state), None, length=n
+            )
+            return params, scores
+
+        params, scores = run(params, opt_state, n_iters)
+        trace = [float(s) for s in np.asarray(scores)]
+    else:
+        trace = []
+        for it in range(n_iters):
+            params, opt_state, score = step_fn(params, opt_state)
+            trace.append(float(score))
+            if verbose:
+                print(f"iter {it:4d}  score {trace[-1]:.5f}")
     return params["rotation"], params["translation"], trace
+
+
+def optimize_until(
+    drr: DRR,
+    target_img: jnp.ndarray,
+    rotation: jnp.ndarray,
+    translation: jnp.ndarray,
+    parameterization: str,
+    convention: Optional[str] = None,
+    true_pose: Optional[RigidTransform] = None,
+    tol_mm: float = 1.0,
+    max_iters: int = 500,
+    **kwargs,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """On-device registration with a convergence check — zero host syncs.
+
+    Runs a jitted ``lax.while_loop`` until the DoubleGeodesicSE3 distance to
+    ``true_pose`` drops below ``tol_mm`` (the reference experiments' 1 mm
+    criterion, experiments/registration.py:172-174) or ``max_iters`` is hit.
+    Returns (rotation, translation, n_iters_used, final_geodesic_mm).
+    """
+    from .metrics import DoubleGeodesicSE3
+
+    if true_pose is None:
+        raise ValueError("optimize_until requires the ground-truth pose")
+    geodesic = DoubleGeodesicSE3(sdd=drr.detector.sdd)
+    init_fn, step_fn = make_registration_step(
+        drr, target_img, parameterization, convention, **kwargs
+    )
+    params0, opt_state0 = init_fn(rotation, translation)
+
+    def distance(params):
+        est = convert(
+            params["rotation"], params["translation"],
+            parameterization=parameterization, convention=convention,
+        )
+        return jnp.max(geodesic(true_pose, est)[2])
+
+    @jax.jit
+    def run(params, opt_state):
+        def cond(carry):
+            _, _, it, dist = carry
+            return (dist > tol_mm) & (it < max_iters)
+
+        def body(carry):
+            params, opt_state, it, _ = carry
+            params, opt_state, _ = step_fn(params, opt_state)
+            return params, opt_state, it + 1, distance(params)
+
+        params, opt_state, n, dist = jax.lax.while_loop(
+            cond, body, (params, opt_state, jnp.int32(0), distance(params))
+        )
+        return params, n, dist
+
+    params, n, dist = run(params0, opt_state0)
+    return params["rotation"], params["translation"], n, dist
 
 
 # -----------------------------------------------------------------------------

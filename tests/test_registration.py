@@ -143,3 +143,61 @@ def test_multiscale_registration_recovers_pose(setup):
     after = float(geo(pose_true, pose1)[2][0])
     assert after < before * 0.35, (before, after)
     assert len(traces) == 2
+
+
+def test_optimizer_variants_descend(setup):
+    """SGD+momentum/dampening and LBFGS improve the similarity score
+    (reference experiment sweep, experiments/registration.py:74-116)."""
+    _, drr, rot_true, trans_true, target = setup
+    rot0 = rot_true + jnp.asarray([[0.03, -0.03, 0.02]], jnp.float32)
+    trans0 = trans_true + jnp.asarray([[5.0, -6.0, 4.0]], jnp.float32)
+
+    for opt, kwargs in [
+        ("sgd", dict(momentum=0.9, dampening=0.9, lr_rotation=5e-3,
+                     lr_translation=5e-1)),
+        ("lbfgs", dict()),
+    ]:
+        _, _, trace = optimize(
+            drr, target, rot0, trans0, "euler_angles", "ZXY",
+            n_iters=12, optimizer=opt, n_points=100, **kwargs,
+        )
+        assert trace[-1] > trace[0] + 1e-4, (opt, trace[0], trace[-1])
+
+
+def test_scan_loop_matches_python_loop(setup):
+    """The on-device lax.scan loop computes the same trajectory as the
+    per-step Python loop (single dispatch, single host sync)."""
+    _, drr, rot_true, trans_true, target = setup
+    rot0 = rot_true + jnp.asarray([[0.02, -0.02, 0.01]], jnp.float32)
+    trans0 = trans_true + jnp.asarray([[3.0, -4.0, 2.0]], jnp.float32)
+
+    r1, t1, trace1 = optimize(drr, target, rot0, trans0, "euler_angles",
+                              "ZXY", n_iters=8, scan=True, n_points=100)
+    r2, t2, trace2 = optimize(drr, target, rot0, trans0, "euler_angles",
+                              "ZXY", n_iters=8, scan=False, n_points=100)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-3)
+    np.testing.assert_allclose(trace1, trace2, atol=1e-4)
+
+
+def test_optimize_until_converges_on_device(setup):
+    """while_loop registration stops at the geodesic tolerance with zero
+    host syncs (the reference's 1 mm convergence criterion)."""
+    from diffdrr_tpu.registration import optimize_until
+
+    _, drr, rot_true, trans_true, target = setup
+    rot0 = rot_true + jnp.asarray([[0.015, -0.015, 0.01]], jnp.float32)
+    trans0 = trans_true + jnp.asarray([[3.0, -3.0, 2.0]], jnp.float32)
+    pose_true = convert(rot_true, trans_true,
+                        parameterization="euler_angles", convention="ZXY")
+
+    geo = DoubleGeodesicSE3(sdd=800.0)
+    d0 = float(geo(pose_true, convert(rot0, trans0,
+               parameterization="euler_angles", convention="ZXY"))[2].max())
+    rot, trans, n, dist = optimize_until(
+        drr, target, rot0, trans0, "euler_angles", "ZXY",
+        true_pose=pose_true, tol_mm=max(1.0, d0 / 3), max_iters=150,
+        lr_rotation=5e-3, lr_translation=5e-1, n_points=100,
+    )
+    assert float(dist) <= max(1.0, d0 / 3) or int(n) == 150
+    assert float(dist) < d0  # strictly improved
