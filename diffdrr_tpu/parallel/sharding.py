@@ -41,6 +41,7 @@ __all__ = [
     "shard_drr",
     "make_sharded_render",
     "slab_sharded_raycast",
+    "slab_sharded_joseph",
     "make_reconstruction_step",
 ]
 
@@ -235,6 +236,81 @@ def slab_sharded_raycast(
         local,
         mesh=mesh,
         in_specs=(P(axis), P(), P(), P()),
+        out_specs=P(),
+    )(volume, source, target, weights)
+
+
+def slab_sharded_joseph(
+    volume: jnp.ndarray,
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    weights: Optional[jnp.ndarray],
+    mesh: Mesh,
+    axis: str = "rays",
+    *,
+    march_axis: int = 0,
+    step: int = 1,
+    voxel_shift: float = 0.5,
+    eps: float = 1e-8,
+    use_pallas: bool = False,
+    image_shape: Optional[Tuple[int, int]] = None,
+    pallas_kwargs: Optional[dict] = None,
+) -> jnp.ndarray:
+    """Joseph plane-march render with the volume sharded in march-axis slabs.
+
+    The production >HBM-volume path: device ``i`` holds planes
+    ``[i*S, (i+1)*S)`` of the march axis. Joseph samples lie *inside* single
+    planes (in-plane bilinear only), so the slab decomposition is exact with
+    **zero halo exchange**: each device marches its own planes (ray
+    coordinates shifted so local plane ``j`` is global plane ``i*S + j``) and
+    one ``psum`` over the mesh axis assembles the full line integrals.
+
+    ``use_pallas=True`` runs the production Pallas kernel per slab (pass
+    ``image_shape`` and optionally ``pallas_kwargs`` with tile/ky/zw/zc from
+    ``DRR.pallas_cfg``); the default XLA path works on any backend.
+    """
+    n_dev = mesh.shape[axis]
+    X = volume.shape[march_axis]
+    if X % n_dev != 0:
+        raise ValueError(f"march axis {X} not divisible by mesh axis {n_dev}")
+    S = X // n_dev
+    if S % step != 0:
+        raise ValueError(f"slab size {S} must be a multiple of step {step}")
+    B, N, _ = target.shape
+    if weights is None:
+        weights = jnp.ones((B, 1, N), volume.dtype)
+
+    from ..ops.joseph import joseph_raycast
+
+    def local(volume_slab, source, target, weights):
+        idx = jax.lax.axis_index(axis)
+        offset = (idx * S).astype(source.dtype)
+        shift = jnp.zeros((3,), source.dtype).at[march_axis].set(offset)
+        src_l = source - shift
+        tgt_l = target - shift
+        if use_pallas:
+            from ..ops.pallas.joseph import joseph_pallas_raycast
+
+            img = joseph_pallas_raycast(
+                volume_slab, src_l, tgt_l, weights,
+                image_shape=image_shape, axis=march_axis, step=step,
+                voxel_shift=voxel_shift, eps=eps, **(pallas_kwargs or {}),
+            )
+        else:
+            img = joseph_raycast(
+                volume_slab, src_l, tgt_l, weights, axis=march_axis,
+                step=step, voxel_shift=voxel_shift, eps=eps,
+            )
+        return jax.lax.psum(img, axis)
+
+    from jax import shard_map
+
+    spec = [None, None, None]
+    spec[march_axis] = axis
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(*spec), P(), P(), P()),
         out_specs=P(),
     )(volume, source, target, weights)
 
