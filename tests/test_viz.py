@@ -18,6 +18,8 @@ from diffdrr_tpu.viz import (
     animate,
     surface_nets,
     _surface_nets_numpy,
+    marching_cubes,
+    _marching_cubes_numpy,
     drr_to_mesh,
     labelmap_to_mesh,
     img_to_mesh,
@@ -72,6 +74,65 @@ def test_numpy_fallback_close_to_native():
             np.sort(b.vertices.round(0), axis=0),
             atol=1.0,
         )
+
+
+def test_marching_cubes_watertight_oriented_sphere():
+    vol = _sphere()
+    mesh = marching_cubes(vol, level=0.0)
+    assert mesh.n_faces > 100
+    # Watertight: every undirected edge is shared by exactly two faces.
+    F = mesh.faces
+    e = np.sort(np.concatenate([F[:, [0, 1]], F[:, [1, 2]], F[:, [2, 0]]]), axis=1)
+    _, counts = np.unique(e, axis=0, return_counts=True)
+    assert (counts == 2).all()
+    # Consistently outward-oriented: signed volume ~ (4/3) pi r^3.
+    V = mesh.vertices.astype(np.float64) - (24 - 1) / 2
+    signed6 = np.einsum(
+        "ij,ij->i", V[F[:, 0]], np.cross(V[F[:, 1]], V[F[:, 2]])
+    ).sum()
+    assert abs(signed6 / 6 - 4 / 3 * np.pi * 8**3) < 0.03 * 4 / 3 * np.pi * 8**3
+    # Surface area near analytic.
+    area = 0.5 * np.linalg.norm(
+        np.cross(V[F[:, 1]] - V[F[:, 0]], V[F[:, 2]] - V[F[:, 0]]), axis=1
+    ).sum()
+    assert abs(area - 4 * np.pi * 8**2) < 0.03 * 4 * np.pi * 8**2
+
+
+def test_marching_cubes_distinct_from_surface_nets():
+    # The defining structural difference: MC vertices lie ON grid edges
+    # (at most one fractional coordinate); Surface Nets vertices sit at
+    # cell-interior averaged positions (generically all three fractional).
+    vol = _sphere()
+    mc = marching_cubes(vol, level=0.0)
+    frac = np.abs(mc.vertices - np.round(mc.vertices)) > 1e-5
+    assert frac.sum(axis=1).max() <= 1
+    sn = surface_nets(vol, level=0.0, smooth_iters=0)
+    frac_sn = np.abs(sn.vertices - np.round(sn.vertices)) > 1e-5
+    assert (frac_sn.sum(axis=1) >= 2).mean() > 0.9
+
+
+def test_marching_cubes_numpy_matches_native():
+    vol = _sphere(16, 5.0)
+    a = _marching_cubes_numpy(vol, 0.0)
+    assert a.n_vertices > 0 and a.n_faces > 0
+    if native_available("marching_cubes"):
+        b = marching_cubes(vol, 0.0)
+        assert a.n_vertices == b.n_vertices and a.n_faces == b.n_faces
+        # Identical vertex sets (ordering differs).
+        sa = {tuple(r) for r in np.round(a.vertices.astype(np.float64), 4)}
+        sb = {tuple(r) for r in np.round(b.vertices.astype(np.float64), 4)}
+        assert sa == sb
+
+
+def test_drr_to_mesh_marching_cubes_method(scene):
+    subject, *_ = scene
+    mesh = drr_to_mesh(subject, method="marching_cubes", threshold=300.0)
+    assert mesh.n_faces > 0
+    sn = drr_to_mesh(subject, method="surface_nets", threshold=300.0)
+    # The two flavors produce structurally different meshes.
+    assert mesh.n_vertices != sn.n_vertices
+    with pytest.raises(ValueError):
+        drr_to_mesh(subject, method="bogus")
 
 
 def test_drr_to_mesh_world_coords(scene):
