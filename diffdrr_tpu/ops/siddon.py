@@ -130,11 +130,15 @@ def siddon_raycast(
 
     img = sample_volume(volume, xyzs, mode=mode, voxel_shift=voxel_shift,
                         align_corners=align_corners)
+    # Scale by the world-space ray length. The reference performs this
+    # product inside its no_grad block (renderers.py:63-65 pass the length
+    # image into _get_voxel), so under the stop-gradients flag the pose
+    # gradient flows only through the intersection lengths below.
+    img = img * jnp.swapaxes(weights, -1, -2)  # (B, N, S) * (B, N, 1)
     if stop_gradients_through_grid_sample:
         img = jax.lax.stop_gradient(img)
 
-    # Scale by the world-space ray length and the per-segment parametric length.
-    img = img * jnp.swapaxes(weights, -1, -2)  # (B, N, S) * (B, N, 1)
+    # Scale by the per-segment parametric length.
     intersection_length = jnp.diff(alphas, axis=-1)
     img = img * intersection_length
 
