@@ -767,7 +767,17 @@ def convert(
         )
 
     if parameterization == "matrix":
-        return RigidTransform(args[0])
+        m = jnp.asarray(args[0])
+        if len(args) == 1 and m.shape[-2:] == (4, 4):
+            # Reference form: a single homogeneous matrix (pose.py:158-159).
+            return RigidTransform(m)
+        # Pair form (extension): (3x3 rotation, translation) with the same
+        # camera-center convention as every other parameterization, so
+        # convert(*T.convert("matrix"), parameterization="matrix") == T.
+        rotmat = jnp.atleast_3d(m)
+        translation = jnp.atleast_2d(jnp.asarray(args[1]))
+        camera_center = jnp.einsum("bij,bj->bi", rotmat, translation)
+        return RigidTransform(make_matrix(rotmat, camera_center))
 
     if parameterization == "se3_log_map":
         rotation, translation = args
