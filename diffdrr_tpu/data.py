@@ -100,6 +100,42 @@ class Subject:
         return imgs
 
 
+_NATIVE_HU_DTYPES = {
+    np.dtype(np.float32): 0,
+    np.dtype(np.int16): 1,
+    np.dtype(np.int32): 2,
+    np.dtype(np.float64): 3,
+    np.dtype(np.uint8): 4,
+}
+
+
+def _hu_to_density_native(volume, bone_attenuation_multiplier):
+    """Fused multithreaded C++ transfer (native/nifti_loader.cpp), or None."""
+    import ctypes
+
+    from .native import load_library
+
+    arr = np.asarray(volume)
+    code = _NATIVE_HU_DTYPES.get(
+        arr.dtype if arr.dtype.byteorder in ("=", "|", "<") else None
+    )
+    if code is None or not arr.flags["C_CONTIGUOUS"]:
+        arr = np.ascontiguousarray(arr, np.float32)
+        code = 0
+    lib = load_library("nifti_loader")
+    if lib is None:
+        return None
+    out = np.empty(arr.shape, np.float32)
+    rc = lib.hu_to_density(
+        arr.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(arr.size),
+        ctypes.c_int(code),
+        ctypes.c_float(bone_attenuation_multiplier),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out if rc == 0 else None
+
+
 def transform_hu_to_density(
     volume: np.ndarray, bone_attenuation_multiplier: float = 1.0
 ) -> np.ndarray:
@@ -109,6 +145,10 @@ def transform_hu_to_density(
     with a scalar multiplier on bone — then shift/scale to [0, 1]. Matches
     reference ``transform_hu_to_density`` (diffdrr/data.py:214-227).
     """
+    native = _hu_to_density_native(volume, bone_attenuation_multiplier)
+    if native is not None:
+        return native
+
     volume = np.asarray(volume, np.float32)
     air = volume <= -800
     soft = (-800 < volume) & (volume <= 350)

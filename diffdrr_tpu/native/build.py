@@ -19,6 +19,11 @@ from typing import Optional
 
 _CACHE = {}
 
+# Per-source extra compile/link flags.
+_EXTRA_FLAGS = {
+    "nifti_loader": ["-pthread", "-lz"],
+}
+
 
 def _cache_dir() -> Path:
     root = os.environ.get("DIFFDRR_TPU_CACHE") or os.path.join(
@@ -46,7 +51,7 @@ def load_library(name: str) -> Optional[ctypes.CDLL]:
                 tmp = Path(td) / f"{name}.so"
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     str(src), "-o", str(tmp)],
+                     str(src), "-o", str(tmp), *_EXTRA_FLAGS.get(name, [])],
                     check=True, capture_output=True,
                 )
                 tmp.replace(lib_path)

@@ -46,8 +46,32 @@ def _read_bytes(path: Union[str, Path]) -> bytes:
     path = Path(path)
     raw = path.read_bytes()
     if raw[:2] == b"\x1f\x8b":
-        raw = gzip.decompress(raw)
+        native = _gunzip_native(raw)
+        raw = native if native is not None else gzip.decompress(raw)
     return raw
+
+
+def _gunzip_native(raw: bytes):
+    """zlib inflate via the native loader (native/nifti_loader.cpp), or None."""
+    import ctypes
+
+    from .native import load_library
+
+    lib = load_library("nifti_loader")
+    if lib is None:
+        return None
+    lib.gunzip.restype = ctypes.c_int64
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.gunzip(
+        ctypes.cast(ctypes.c_char_p(raw), ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(raw)),
+        ctypes.byref(out),
+    )
+    if n < 0:
+        return None
+    data = ctypes.string_at(out, n)
+    lib.nl_free(out)
+    return data
 
 
 def _quaternion_to_rotation(b: float, c: float, d: float) -> np.ndarray:

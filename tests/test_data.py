@@ -127,3 +127,45 @@ def test_example_ct_structures():
     assert sub.structures is not None
     assert {"id", "name"} <= set(sub.structures.columns)
     assert int(np.asarray(sub.mask.data).max()) <= int(sub.structures["id"].max())
+
+
+def test_native_hu_transfer_matches_numpy():
+    """Fused C++ HU->density (native/nifti_loader.cpp) == NumPy reference."""
+    import diffdrr_tpu.data as data_mod
+    from diffdrr_tpu.data import _hu_to_density_native, transform_hu_to_density
+    from diffdrr_tpu.native import native_available
+
+    if not native_available("nifti_loader"):
+        pytest.skip("no native loader (g++/zlib unavailable)")
+    rng = np.random.default_rng(3)
+    for dtype in (np.int16, np.float32):
+        hu = rng.uniform(-1200, 2200, (48, 48, 17)).astype(dtype)
+        native = _hu_to_density_native(hu, 1.7)
+        orig = data_mod._hu_to_density_native
+        data_mod._hu_to_density_native = lambda *a: None
+        try:
+            ref = transform_hu_to_density(hu, 1.7)
+        finally:
+            data_mod._hu_to_density_native = orig
+        np.testing.assert_allclose(native, ref, atol=1e-6)
+    # All-air edge case (no soft-tissue voxels).
+    hu = np.full((8, 8, 8), -1000.0, np.float32)
+    assert np.allclose(_hu_to_density_native(hu, 1.0), 0.0)
+
+
+def test_native_gunzip_matches_gzip():
+    """zlib-inflate decode path (incl. multi-member streams) == gzip module."""
+    import gzip as gz
+
+    from diffdrr_tpu.nifti import _gunzip_native
+    from diffdrr_tpu.native import native_available
+
+    if not native_available("nifti_loader"):
+        pytest.skip("no native loader (g++/zlib unavailable)")
+    rng = np.random.default_rng(4)
+    payload = rng.bytes(500_000)
+    assert _gunzip_native(gz.compress(payload)) == payload
+    multi = gz.compress(payload[:1000]) + gz.compress(payload[1000:3000])
+    assert _gunzip_native(multi) == payload[:3000]
+    # Truncated stream reports failure (caller falls back to gzip module).
+    assert _gunzip_native(gz.compress(payload)[:100]) is None
