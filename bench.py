@@ -128,6 +128,10 @@ def main():
         "note": "plane-aligned sampling capped at one sample/plane (133)",
     }
 
+    t = _per_iter(fwdbwd_scanner(drr_t, axis=2, n_points=500), rot0)
+    extra["trilinear_fwd_posebwd_200_n500"] = {
+        "ms": round(t * 1e3, 3), "rays_per_s": round(n200 / t, 1)}
+
     # --- 1000^2 (the reference needs patch_size=250 here; we don't) ---
     n1000 = 1000 * 1000
     drr_L = DRR(subject, sdd=1020.0, height=1000, delx=0.4,

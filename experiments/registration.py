@@ -40,15 +40,18 @@ from diffdrr_tpu.registration import make_registration_step
 @click.option("--n-iters", default=250, help="Max iterations per run")
 @click.option("--height", default=128, help="DRR height/width in pixels")
 @click.option("--volume-size", default=256, help="Phantom volume XY size")
-@click.option("--optimizer", default="adam", type=click.Choice(["adam", "sgd"]))
+@click.option("--optimizer", default="adam",
+              type=click.Choice(["adam", "sgd", "lbfgs"]))
+@click.option("--momentum", default=0.0, help="SGD momentum")
+@click.option("--dampening", default=0.0, help="SGD dampening")
 @click.option("--lr-rotation", default=5e-3)
 @click.option("--lr-translation", default=5e-1)
 @click.option("--renderer", default="trilinear",
               type=click.Choice(["siddon", "trilinear", "joseph"]))
 @click.option("--outdir", default="experiments/results")
 @click.option("--seed", default=0)
-def main(cpu, n_runs, n_iters, height, volume_size, optimizer, lr_rotation,
-         lr_translation, renderer, outdir, seed):
+def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
+         dampening, lr_rotation, lr_translation, renderer, outdir, seed):
     if cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -71,7 +74,7 @@ def main(cpu, n_runs, n_iters, height, volume_size, optimizer, lr_rotation,
     init_fn, step_fn = make_registration_step(
         drr, target, "euler_angles", "ZXY", metric=metric,
         lr_rotation=lr_rotation, lr_translation=lr_translation,
-        optimizer=optimizer,
+        optimizer=optimizer, momentum=momentum, dampening=dampening,
     )
 
     outdir = Path(outdir)
