@@ -568,33 +568,87 @@ class DRR:
 
                 return partial(siddon_pallas_raycast, axis=ax, **common)
 
+            slab_guard = opts.pop("slab_guard", True)
+            guarded = self.renderer_name == "siddon" and slab_guard
+
+            def xla_fallback(density, source, target, weights):
+                # Slab-validity escape for exact Siddon: a ray whose
+                # transverse/axial slope exceeds 1 at the march axis can
+                # cross two transverse voxel boundaries inside one slab,
+                # which the rank-2 slab decomposition cannot represent —
+                # its integral would be silently wrong. Render such poses
+                # on the sort-based XLA oracle instead (exact, slower).
+                #
+                # lax.cond sizes its allocation at the max over branches, so
+                # this branch must stay memory-bounded even when never taken:
+                # the sort-based oracle materializes (B, N, ~sum(dims))
+                # intersection buffers, which at 1000^2 rays would be tens of
+                # GB. Chunk rays through lax.map with a fixed chunk size.
+                xopts = {k: v for k, v in opts.items()
+                         if k not in ("axis", "step", "n_points",
+                                      "allow_oversample")}
+                fallback = _RENDERERS["siddon"]
+                N = target.shape[1]
+                chunk = 16384
+                if N <= chunk:
+                    return fallback(density, source, target, weights, **xopts)
+                n_chunks = -(-N // chunk)
+                pad = n_chunks * chunk - N
+                tgt = jnp.pad(target, ((0, 0), (0, pad), (0, 0)), mode="edge")
+                wgt = jnp.pad(weights, ((0, 0), (0, 0), (0, pad)), mode="edge")
+                tgt = tgt.reshape(target.shape[0], n_chunks, chunk, 3)
+                wgt = wgt.reshape(weights.shape[0], weights.shape[1],
+                                  n_chunks, chunk)
+                out = jax.lax.map(
+                    lambda tw: fallback(density, source, tw[0], tw[1], **xopts),
+                    (jnp.moveaxis(tgt, 1, 0), jnp.moveaxis(wgt, 2, 0)),
+                )  # (n_chunks, B, C, chunk)
+                out = jnp.moveaxis(out, 0, 2)  # (B, C, n_chunks, chunk)
+                return out.reshape(*out.shape[:2], n_chunks * chunk)[..., :N]
+
+            def worst_ratios():
+                # Worst-ray alignment ratio per axis (in voxel space).
+                d = jnp.abs(target - source)  # (B, N, 3)
+                eps = 1e-12
+                return jnp.stack([
+                    jnp.max(jnp.maximum(d[..., 1], d[..., 2])
+                            / jnp.maximum(d[..., 0], eps)),
+                    jnp.max(jnp.maximum(d[..., 0], d[..., 2])
+                            / jnp.maximum(d[..., 1], eps)),
+                    jnp.max(jnp.maximum(d[..., 0], d[..., 1])
+                            / jnp.maximum(d[..., 2], eps)),
+                ])
+
             if axis is not None:
-                return render_axis(axis)(density, source, target, weights)
-            d = jnp.abs(target - source)  # (B, N, 3)
-            # Worst-ray alignment ratio per axis; pick the axis minimizing it
-            # (the safest choice for the Siddon slab-validity bound and the
-            # Joseph quadrature skew).
-            eps = 1e-12
-            ratios = jnp.stack([
-                jnp.max(jnp.maximum(d[..., 1], d[..., 2])
-                        / jnp.maximum(d[..., 0], eps)),
-                jnp.max(jnp.maximum(d[..., 0], d[..., 2])
-                        / jnp.maximum(d[..., 1], eps)),
-                jnp.max(jnp.maximum(d[..., 0], d[..., 1])
-                        / jnp.maximum(d[..., 2], eps)),
-            ])
+                fn = render_axis(axis)
+                if not guarded:
+                    return fn(density, source, target, weights)
+                return jax.lax.cond(
+                    worst_ratios()[axis] <= 1.0 + 1e-6,
+                    fn, xla_fallback, density, source, target, weights,
+                )
+            # Pick the axis minimizing the worst-ray ratio (the safest choice
+            # for the Siddon slab-validity bound and the Joseph quadrature
+            # skew).
+            ratios = worst_ratios()
             idx = jnp.argmin(ratios)
-            return jax.lax.switch(
-                idx,
-                [render_axis(a) for a in range(3)],
-                density,
-                source,
-                target,
-                weights,
+
+            def pallas_switch(density, source, target, weights):
+                return jax.lax.switch(
+                    idx, [render_axis(a) for a in range(3)],
+                    density, source, target, weights,
+                )
+
+            if not guarded:
+                return pallas_switch(density, source, target, weights)
+            return jax.lax.cond(
+                ratios[idx] <= 1.0 + 1e-6,
+                pallas_switch, xla_fallback, density, source, target, weights,
             )
 
         # Pallas-only hints are dropped on the XLA paths.
         opts.pop("allow_oversample", None)
+        opts.pop("slab_guard", None)
         if self.renderer_name != "trilinear":
             opts.pop("n_points", None)
         if self.renderer_name == "siddon":

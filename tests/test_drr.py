@@ -169,3 +169,48 @@ def test_renderer_kwargs_flow(subject, pose_args):
     a, b = np.asarray(img_100), np.asarray(img_500)
     assert not np.allclose(a, b)
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
+
+
+def test_siddon_slab_guard(subject, pose_args, monkeypatch):
+    """Wide cone-beam rays violate the Siddon slab bound -> XLA fallback.
+
+    The Pallas slab decomposition is only valid when every ray's transverse
+    slope at the march axis is <= 1; rays beyond that would integrate
+    silently wrong. The dispatch wraps the kernel call in a lax.cond on the
+    worst-ray alignment ratio. Poison the kernel entry point to observe
+    which branch executed.
+    """
+    import diffdrr_tpu.ops.pallas.siddon as psid
+    import diffdrr_tpu.drr as drr_mod
+
+    POISON = 12345.0
+
+    def poison(volume, source, target, weights=None, **kw):
+        B, N = target.shape[0], target.shape[1]
+        return jnp.full((B, 1, N), POISON, jnp.float32)
+
+    monkeypatch.setattr(psid, "siddon_pallas_raycast", poison)
+    monkeypatch.setattr(
+        drr_mod.DRR, "_pallas_capable",
+        lambda self, m, o: (self.renderer_name == "siddon"
+                            and self.pallas_ok
+                            and not o.get("force_xla", False)),
+    )
+
+    # Narrow cone at an AP pose: every ray is axis-aligned -> Pallas branch.
+    narrow = DRR(subject, sdd=800.0, height=16, delx=1.0)
+    img = _render(narrow, pose_args)
+    assert np.allclose(np.asarray(img), POISON)
+
+    # Wide cone (detector half-diagonal >> sdd): worst-ray ratio > 1 at any
+    # axis -> the guard must route to the exact XLA oracle.
+    wide = DRR(subject, sdd=8.0, height=16, delx=1.0)
+    guarded = _render(wide, pose_args)
+    oracle = _render(wide, pose_args, force_xla=True)
+    np.testing.assert_allclose(
+        np.asarray(guarded), np.asarray(oracle), atol=1e-5)
+    assert not np.allclose(np.asarray(guarded), POISON)
+
+    # slab_guard=False opts out: the Pallas branch runs unconditionally.
+    unguarded = _render(wide, pose_args, slab_guard=False)
+    assert np.allclose(np.asarray(unguarded), POISON)
