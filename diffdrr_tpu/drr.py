@@ -535,6 +535,7 @@ class DRR:
             step = opts.pop("step", None)
             n_points = opts.pop("n_points", 500)
             allow_oversample = opts.pop("allow_oversample", False)
+            resident = opts.pop("resident", None)
             # Use the cached prepped volume only for the stored density (the
             # reconstruction seam passes a free variable — never cached).
             cached = density is self.density
@@ -548,6 +549,7 @@ class DRR:
                     precision=self.pallas_precision,
                     storage=self.pallas_storage,
                     prepped_vol=self._pvols[ax] if cached else None,
+                    resident=resident,
                 )
                 if mask_to_channels:
                     common["mask"] = self.mask
@@ -586,7 +588,7 @@ class DRR:
                 # GB. Chunk rays through lax.map with a fixed chunk size.
                 xopts = {k: v for k, v in opts.items()
                          if k not in ("axis", "step", "n_points",
-                                      "allow_oversample")}
+                                      "allow_oversample", "resident")}
                 fallback = _RENDERERS["siddon"]
                 N = target.shape[1]
                 chunk = 16384
@@ -649,6 +651,7 @@ class DRR:
         # Pallas-only hints are dropped on the XLA paths.
         opts.pop("allow_oversample", None)
         opts.pop("slab_guard", None)
+        opts.pop("resident", None)
         if self.renderer_name != "trilinear":
             opts.pop("n_points", None)
         if self.renderer_name == "siddon":

@@ -186,13 +186,73 @@ def _blend_fraction(p, h, n_src_planes):
     return kf - k0
 
 
-def _get_win(win_buf, slot, p, h, n_src_planes, blend):
-    """Fetch (and in blend mode lerp) the current (1|2, KY, ZW) window."""
+def _blend_win(w, p, h, n_src_planes, blend):
+    """Reduce a raw (1|2, KY, ZW) window to (KY, ZW), lerping in blend mode."""
     if not blend:
-        return win_buf[slot, 0]
+        return w[0]
     fx = _blend_fraction(p, h, n_src_planes)
-    w = win_buf[slot].astype(jnp.float32)
+    w = w.astype(jnp.float32)
     return w[0] * (1.0 - fx) + w[1] * fx
+
+
+def _window_reader(vol_ref, starts_ref, win_buf, sems, h, ky, zw, blend,
+                   resident):
+    """Unified per-plane window access for the march kernels.
+
+    Non-resident: double-buffered HBM->VMEM window DMAs (``win_buf`` is
+    (2, xp, ky, zw) scratch). Resident: ONE whole-volume DMA into a VMEM
+    scratch the size of the volume at grid step 0 (the scratch persists
+    across the sequential tile grid), after which every (tile, plane) read is
+    a VMEM dynamic slice — no per-plane DMA, no re-fetch of overlapping
+    windows (measured ~2x kernel speedup at 200^2 on v5e, ~15x less traffic).
+
+    Returns ``(init, prefetch, fetch)``:
+      * ``init(lo, hi)`` — issue the initial transfer(s).
+      * ``prefetch(slot, p, hi)`` — start the window DMA for plane ``p``
+        into buffer ``slot`` if ``p < hi`` (no-op when resident).
+      * ``fetch(slot, p) -> (xp, ky, zw)`` raw window (blocks on the DMA in
+        non-resident mode; callers blend/select planes via ``_blend_win``).
+    """
+    xp = 2 if blend else 1
+    n_src = vol_ref.shape[0]
+
+    if resident:
+        def init(lo, hi):
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                cp = pltpu.make_async_copy(vol_ref, win_buf, sems.at[0])
+                cp.start()
+                cp.wait()
+
+        def prefetch(slot, p, hi):
+            pass
+
+        def fetch(slot, p):
+            k = _plane_index(p, h, n_src, blend)
+            ys = pl.multiple_of(starts_ref[0, p, 0], 16)
+            zs = pl.multiple_of(starts_ref[0, p, 1], 128)
+            return win_buf[pl.ds(k, xp), pl.ds(ys, ky), pl.ds(zs, zw)]
+
+        return init, prefetch, fetch
+
+    window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, h, ky,
+                                  zw, blend)
+
+    def init(lo, hi):
+        @pl.when(lo < hi)
+        def _():
+            window_dma(0, lo).start()
+
+    def prefetch(slot, p, hi):
+        @pl.when(p < hi)
+        def _():
+            window_dma(slot, p).start()
+
+    def fetch(slot, p):
+        window_dma(slot, p).wait()
+        return win_buf[slot]
+
+    return init, prefetch, fetch
 
 
 def _read_range(starts_ref):
@@ -208,19 +268,21 @@ def _onehot_at(iota, pos):
     return (jnp.abs(iota - jnp.round(pos)) < 0.5).astype(jnp.float32)
 
 
-def _get_lab(lab_buf, slot, p, h, n_src_planes, blend):
+def _get_lab(labwin, p, h, n_src_planes, blend):
     """Nearest-plane label window (labels are never interpolated)."""
     if not blend:
-        return lab_buf[slot, 0]
+        return labwin[0]
     fx = _blend_fraction(p, h, n_src_planes)
-    w = lab_buf[slot]
-    return jnp.where(fx > 0.5, w[1], w[0])
+    return jnp.where(fx > 0.5, labwin[1], labwin[0])
 
 
-def _sample_labels(lab_buf, slot, p, h, n_src, blend, starts_ref, iota_y,
+def _sample_labels(labwin, p, h, n_src, blend, starts_ref, iota_y,
                    iota_z, ry, rz, zc, precision):
-    """Per-ray nearest-voxel label at this plane's sample points (1, TR)."""
-    labwin = _get_lab(lab_buf, slot, p, h, n_src, blend)
+    """Per-ray nearest-voxel label at this plane's sample points (1, TR).
+
+    ``labwin`` is the raw (1|2, KY, ZW) label window from a window reader.
+    """
+    labwin = _get_lab(labwin, p, h, n_src, blend)
     labwin = _roll_window(labwin, starts_ref[0, p, 2], zc)
     ez = _onehot_at(iota_z, rz)  # (ZC, TR)
     ey = _onehot_at(iota_y, ry)  # (KY, TR)
@@ -241,7 +303,7 @@ def _channel_select(lab, n_ch_pad, tr):
 
 
 def _fwd_kernel(
-    *refs, h, ky, zw, zc, precision, blend, n_ch=None,
+    *refs, h, ky, zw, zc, precision, blend, n_ch=None, resident=False,
 ):
     if n_ch is None:
         (starts_ref, rays_ref, vol_ref, out_ref,
@@ -254,36 +316,32 @@ def _fwd_kernel(
     r = _ray_rows(rays_ref)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
-    window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, h, ky,
-                                  zw, blend)
+    win_init, win_prefetch, win_fetch = _window_reader(
+        vol_ref, starts_ref, win_buf, sems, h, ky, zw, blend, resident)
     if n_ch is not None:
-        lab_dma = _make_window_dma(lab_ref, starts_ref, lab_buf, lab_sems, h,
-                                   ky, zw, blend)
+        lab_init, lab_prefetch, lab_fetch = _window_reader(
+            lab_ref, starts_ref, lab_buf, lab_sems, h, ky, zw, blend,
+            resident)
     lo, hi = _read_range(starts_ref)
 
-    @pl.when(lo < hi)
-    def _():
-        window_dma(0, lo).start()
-        if n_ch is not None:
-            lab_dma(0, lo).start()
+    win_init(lo, hi)
+    if n_ch is not None:
+        lab_init(lo, hi)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def body(p, _):
         slot = jax.lax.rem(p - lo, 2)
-
-        @pl.when(p + 1 < hi)
-        def _():
-            window_dma(jax.lax.rem(p + 1 - lo, 2), p + 1).start()
-            if n_ch is not None:
-                lab_dma(jax.lax.rem(p + 1 - lo, 2), p + 1).start()
+        nxt = jax.lax.rem(p + 1 - lo, 2)
+        win_prefetch(nxt, p + 1, hi)
+        if n_ch is not None:
+            lab_prefetch(nxt, p + 1, hi)
 
         _, _, _, scale, ry, rz = _plane_geometry(r, p, h, starts_ref)
         wz = _tent(rz - iota_z) * scale  # (ZC, TR)
         wy = _tent(ry - iota_y)  # (KY, TR)
 
-        window_dma(slot, p).wait()
-        win = _get_win(win_buf, slot, p, h, n_src, blend)
+        win = _blend_win(win_fetch(slot, p), p, h, n_src, blend)
         win = _roll_window(win, starts_ref[0, p, 2], zc)  # (KY, ZC)
 
         t1 = _dot(win, wz, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
@@ -291,8 +349,7 @@ def _fwd_kernel(
         if n_ch is None:
             acc_ref[...] += contrib
         else:
-            lab_dma(slot, p).wait()
-            lab = _sample_labels(lab_buf, slot, p, h, n_src, blend,
+            lab = _sample_labels(lab_fetch(slot, p), p, h, n_src, blend,
                                  starts_ref, iota_y, iota_z, ry, rz, zc,
                                  precision)
             # Zero-length samples must not vote for a channel.
@@ -310,7 +367,7 @@ def _fwd_kernel(
 
 
 def _bwd_rays_kernel(
-    *refs, h, ky, zw, zc, precision, blend, n_ch=None,
+    *refs, h, ky, zw, zc, precision, blend, n_ch=None, resident=False,
 ):
     """Accumulate d(loss)/d(packed ray rows) for one ray tile.
 
@@ -335,29 +392,26 @@ def _bwd_rays_kernel(
     r = _ray_rows(rays_ref)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
-    window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, h, ky,
-                                  zw, blend)
+    win_init, win_prefetch, win_fetch = _window_reader(
+        vol_ref, starts_ref, win_buf, sems, h, ky, zw, blend, resident)
     if n_ch is not None:
-        lab_dma = _make_window_dma(lab_ref, starts_ref, lab_buf, lab_sems, h,
-                                   ky, zw, blend)
+        lab_init, lab_prefetch, lab_fetch = _window_reader(
+            lab_ref, starts_ref, lab_buf, lab_sems, h, ky, zw, blend,
+            resident)
     lo, hi = _read_range(starts_ref)
 
-    @pl.when(lo < hi)
-    def _():
-        window_dma(0, lo).start()
-        if n_ch is not None:
-            lab_dma(0, lo).start()
+    win_init(lo, hi)
+    if n_ch is not None:
+        lab_init(lo, hi)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)  # (8, TR): a b gy dy gz dz sc pad
 
     def body(p, _):
         slot = jax.lax.rem(p - lo, 2)
-
-        @pl.when(p + 1 < hi)
-        def _():
-            window_dma(jax.lax.rem(p + 1 - lo, 2), p + 1).start()
-            if n_ch is not None:
-                lab_dma(jax.lax.rem(p + 1 - lo, 2), p + 1).start()
+        nxt = jax.lax.rem(p + 1 - lo, 2)
+        win_prefetch(nxt, p + 1, hi)
+        if n_ch is not None:
+            lab_prefetch(nxt, p + 1, hi)
 
         k, alpha, inslab, scale, ry, rz = _plane_geometry(r, p, h, starts_ref)
         uy = ry - iota_y
@@ -366,8 +420,7 @@ def _bwd_rays_kernel(
         wz0 = _tent(uz)
         wzs = wz0 * scale
 
-        window_dma(slot, p).wait()
-        win = _get_win(win_buf, slot, p, h, n_src, blend)
+        win = _blend_win(win_fetch(slot, p), p, h, n_src, blend)
         win = _roll_window(win, starts_ref[0, p, 2], zc)
 
         t1 = _dot(win, wzs, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
@@ -379,8 +432,7 @@ def _bwd_rays_kernel(
         dsc = jnp.where(inslab, dsc, 0.0)
 
         if n_ch is not None:
-            lab_dma(slot, p).wait()
-            lab = _sample_labels(lab_buf, slot, p, h, n_src, blend,
+            lab = _sample_labels(lab_fetch(slot, p), p, h, n_src, blend,
                                  starts_ref, iota_y, iota_z, ry, rz, zc,
                                  precision)
             sel = _channel_select(lab, g_ref.shape[0], tr)
@@ -482,7 +534,7 @@ def _bwd_vol_kernel(
             gp = g
         else:
             lab_dma(slot, p).wait()
-            lab = _sample_labels(lab_buf, slot, p, h, n_src, blend,
+            lab = _sample_labels(lab_buf[slot], p, h, n_src, blend,
                                  starts_ref, iota_y, iota_z, ry, rz, zc,
                                  precision)
             sel = _channel_select(lab, g_ref.shape[0], tr)
@@ -709,17 +761,48 @@ def _common_specs(n_planes, TR):
     ]
 
 
+# VMEM-resident volume budget: the whole (permuted, padded) volume must fit
+# in VMEM scratch alongside the ray blocks. v5e/v6e have 128 MiB VMEM/core
+# (probed empirically; the conservative spec says less — kept under a knob).
+_RESIDENT_BUDGET = 96 * 2**20
+
+
+def _resident_bytes(dims, axis, ky, zw, blend, itemsize):
+    """Bytes of the permuted/padded volume as the kernels see it."""
+    other = tuple(d for d in range(3) if d != axis)
+    n_src = dims[axis] + (1 if blend else 0)
+    Y = max(dims[other[0]], ky)
+    Z = max(dims[other[1]], zw)
+    return n_src * Y * Z * itemsize
+
+
+def _win_scratch(arr, ky, zw, blend, resident):
+    """Window scratch: the whole volume when resident, else 2 DMA slots."""
+    if resident:
+        return pltpu.VMEM(arr.shape, arr.dtype)
+    xp = 2 if blend else 1
+    return pltpu.VMEM((2, xp, ky, zw), arr.dtype)
+
+
+def _vmem_params(resident, *arrs):
+    """compiler_params kwargs: raise the VMEM cap for resident volumes."""
+    if not resident:
+        return {}
+    need = sum(a.nbytes for a in arrs if a is not None) + 16 * 2**20
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=min(need, 127 * 2**20))}
+
+
 def _fwd_call(vol, rays_tiled, starts, lab, *, n_tiles, TR, n_planes,
-              h, ky, zw, zc, precision, blend, n_ch, interpret):
+              h, ky, zw, zc, precision, blend, n_ch, resident, interpret):
     kernel = functools.partial(
         _fwd_kernel, h=h, ky=ky, zw=zw, zc=zc, precision=precision,
-        blend=blend, n_ch=n_ch,
+        blend=blend, n_ch=n_ch, resident=resident,
     )
-    xp = 2 if blend else 1
     rows = 1 if n_ch is None else -(-n_ch // 8) * 8
     lab_in = [] if n_ch is None else [pl.BlockSpec(memory_space=pl.ANY)]
     lab_scratch = [] if n_ch is None else [
-        pltpu.VMEM((2, xp, ky, zw), lab.dtype)]
+        _win_scratch(lab, ky, zw, blend, resident)]
     lab_sems = [] if n_ch is None else [pltpu.SemaphoreType.DMA((2,))]
     args = (starts, rays_tiled, vol) + (() if n_ch is None else (lab,))
     return pl.pallas_call(
@@ -732,27 +815,27 @@ def _fwd_call(vol, rays_tiled, starts, lab, *, n_tiles, TR, n_planes,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, n_tiles * TR), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, xp, ky, zw), vol.dtype),
+            _win_scratch(vol, ky, zw, blend, resident),
         ] + lab_scratch + [
             pltpu.VMEM((rows, TR), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ] + lab_sems,
         interpret=interpret,
+        **_vmem_params(resident, vol, lab if n_ch is not None else None),
     )(*args)
 
 
 def _bwd_rays_call(vol, rays_tiled, starts, g_tiled, lab, *, n_tiles,
                    TR, n_planes, h, ky, zw, zc, precision, blend, n_ch,
-                   interpret):
+                   resident, interpret):
     kernel = functools.partial(
         _bwd_rays_kernel, h=h, ky=ky, zw=zw, zc=zc, precision=precision,
-        blend=blend, n_ch=n_ch,
+        blend=blend, n_ch=n_ch, resident=resident,
     )
-    xp = 2 if blend else 1
     rows = 1 if n_ch is None else -(-n_ch // 8) * 8
     lab_in = [] if n_ch is None else [pl.BlockSpec(memory_space=pl.ANY)]
     lab_scratch = [] if n_ch is None else [
-        pltpu.VMEM((2, xp, ky, zw), lab.dtype)]
+        _win_scratch(lab, ky, zw, blend, resident)]
     lab_sems = [] if n_ch is None else [pltpu.SemaphoreType.DMA((2,))]
     args = (starts, rays_tiled, g_tiled, vol) + (
         () if n_ch is None else (lab,))
@@ -768,18 +851,23 @@ def _bwd_rays_call(vol, rays_tiled, starts, g_tiled, lab, *, n_tiles,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((_NROWS, n_tiles * TR), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, xp, ky, zw), vol.dtype),
+            _win_scratch(vol, ky, zw, blend, resident),
         ] + lab_scratch + [
             pltpu.VMEM((8, TR), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ] + lab_sems,
         interpret=interpret,
+        **_vmem_params(resident, vol, lab if n_ch is not None else None),
     )(*args)
 
 
 def _bwd_vol_call(vol, rays_tiled, starts, g_tiled, lab, *, n_tiles,
                   TR, n_planes, h, ky, zw, zc, precision, blend, n_ch,
-                  interpret):
+                  resident, interpret):
+    # The volume-gradient kernel always streams windows: its read-modify-
+    # write target is the f32 gradient volume, which at resident-worthy
+    # volume sizes does not fit VMEM.
+    del resident
     kernel = functools.partial(
         _bwd_vol_kernel, h=h, ky=ky, zw=zw, zc=zc, precision=precision,
         blend=blend, n_ch=n_ch,
@@ -816,6 +904,26 @@ def _bwd_vol_call(vol, rays_tiled, starts, g_tiled, lab, *, n_tiles,
         ] + lab_sems,
         interpret=interpret,
     )(*args)
+
+
+def _resolve_resident(resident, volume, axis, ky, zw, blend, storage,
+                      mask=None, prepped_vol=None):
+    """Auto-pick VMEM residency: fit the (padded) volume [+ labelmap] in the
+    VMEM scratch budget. ``False`` forces streaming; ``True`` requests
+    residency but is still clamped by the hard VMEM fit (a non-fitting
+    volume cannot be resident — it would fail to allocate, e.g. for the
+    non-marching branches of the auto-axis ``lax.switch``)."""
+    if resident is not None and not resident:
+        return False
+    itm = 2 if storage == "bf16" else jnp.dtype(volume.dtype).itemsize
+    if prepped_vol is not None and prepped_vol.ndim == 3:
+        need = prepped_vol.nbytes
+    else:
+        need = _resident_bytes(volume.shape, axis, ky, zw, blend, itm)
+    if mask is not None:
+        mitm = 2 if storage == "bf16" else jnp.dtype(mask.dtype).itemsize
+        need += _resident_bytes(volume.shape, axis, ky, zw, blend, mitm)
+    return need <= _RESIDENT_BUDGET
 
 
 def _tile_permutes(perm, B, N, TR, n_tiles_img, n_ch=None):
@@ -858,7 +966,7 @@ def _tile_permutes(perm, B, N, TR, n_tiles_img, n_ch=None):
 @functools.lru_cache(maxsize=64)
 def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
                  ky, zw, zc, precision, storage, interpret,
-                 use_prepped=False, n_ch=None):
+                 use_prepped=False, n_ch=None, resident=False):
     """Build the custom-VJP render function for one static configuration.
 
     ``h`` is the (possibly fractional) marching stride in planes; sampling
@@ -906,7 +1014,7 @@ def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
 
     kw = dict(TR=TR, n_planes=n_steps, h=h, ky=ky, zw=zw, zc=zc,
               precision=precision, blend=blend, n_ch=n_ch,
-              interpret=interpret)
+              resident=resident, interpret=interpret)
 
     def run_fwd(vol, lab, rays_tiled, starts, B, N):
         n_tiles = rays_tiled.shape[1] // TR
@@ -988,6 +1096,7 @@ def joseph_pallas_raycast(
     prepped_vol: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
     n_channels: Optional[int] = None,
+    resident: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Joseph plane-march render via Pallas TPU kernels, fwd + analytic bwd.
 
@@ -1008,6 +1117,9 @@ def joseph_pallas_raycast(
       mask / n_channels: per-structure channel rendering — each sample lands
         in the channel of its nearest-voxel label (reference
         renderers.py:74-89); output becomes (B, n_channels, N).
+      resident: keep the whole volume (and labelmap) VMEM-resident in the
+        fwd/bwd-rays kernels instead of streaming per-plane windows — ~2x
+        kernel speedup when it fits (default: auto by VMEM budget).
 
     Returns (B, 1, N) line integrals ((B, C, N) with a mask). Differentiable
     w.r.t. volume, source, target, and weights (analytic VJP kernels; the
@@ -1024,10 +1136,13 @@ def joseph_pallas_raycast(
         n_steps = int(-(-volume.shape[axis] // h))
     use_prepped = prepped_vol is not None
     n_ch = int(n_channels) if mask is not None else None
+    blend = abs(h - round(h)) > 1e-9
+    resident = _resolve_resident(resident, volume, axis, ky, zw, blend,
+                                 storage, mask, prepped_vol)
     fn = _make_joseph(
         volume.shape, tuple(image_shape), axis, h, int(n_steps), voxel_shift,
         eps, tile, ky, zw, zc, precision, storage, interpret, use_prepped,
-        n_ch,
+        n_ch, resident,
     )
     prepped = prepped_vol if use_prepped else jnp.zeros((0,), jnp.float32)
     lab = mask if mask is not None else jnp.zeros((0,), jnp.float32)

@@ -34,7 +34,7 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
-from .joseph import _make_joseph
+from .joseph import _make_joseph, _resolve_resident
 
 __all__ = ["raymarch_pallas_raycast"]
 
@@ -61,6 +61,7 @@ def raymarch_pallas_raycast(
     prepped_vol: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
     n_channels: Optional[int] = None,
+    resident: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Trilinear ray-march render via Pallas plane-lerp kernels.
 
@@ -84,10 +85,13 @@ def raymarch_pallas_raycast(
     h = (X - 1) / (n_steps - 1)
     use_prepped = prepped_vol is not None
     n_ch = int(n_channels) if mask is not None else None
+    blend = abs(h - round(h)) > 1e-9
+    resident = _resolve_resident(resident, volume, axis, ky, zw, blend,
+                                 storage, mask, prepped_vol)
     fn = _make_joseph(
         volume.shape, tuple(image_shape), axis, float(h), n_steps,
         voxel_shift, eps, tile, ky, zw, zc, precision, storage, interpret,
-        use_prepped, n_ch,
+        use_prepped, n_ch, resident,
     )
     prepped = prepped_vol if use_prepped else jnp.zeros((0,), jnp.float32)
     lab = mask if mask is not None else jnp.zeros((0,), jnp.float32)

@@ -55,14 +55,17 @@ from .joseph import (
     _AMAX,
     _common_specs,
     _compute_starts,
-    _make_window_dma,
     _plan_tiles_cached,
     _prep_rays,
     _prep_vol,
     _ray_rows,
     _read_range,
+    _resolve_resident,
     _roll_window,
     _tile_permutes,
+    _vmem_params,
+    _win_scratch,
+    _window_reader,
     _dot,
 )
 
@@ -142,27 +145,23 @@ def _onehot(iota, pos):
 
 def _fwd_kernel(
     starts_ref, rays_ref, vol_ref, out_ref, win_buf, acc_ref, sems,
-    *, ky, zw, zc, precision,
+    *, ky, zw, zc, precision, resident=False,
 ):
     tr = rays_ref.shape[1]
     r = _ray_rows(rays_ref)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
-    window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, 1, ky, zw)
+    win_init, win_prefetch, win_fetch = _window_reader(
+        vol_ref, starts_ref, win_buf, sems, 1, ky, zw, False, resident)
     lo, hi = _read_range(starts_ref)
 
-    @pl.when(lo < hi)
-    def _():
-        window_dma(0, lo).start()
+    win_init(lo, hi)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def body(s, _):
         slot = jax.lax.rem(s - lo, 2)
-
-        @pl.when(s + 1 < hi)
-        def _():
-            window_dma(jax.lax.rem(s + 1 - lo, 2), s + 1).start()
+        win_prefetch(jax.lax.rem(s + 1 - lo, 2), s + 1, hi)
 
         C, ry0, rz0, _ = _slab_segments(r, s, starts_ref)
         wzA = _onehot(iota_z, rz0)  # (ZC, TR)
@@ -170,8 +169,7 @@ def _fwd_kernel(
         ey0 = _onehot(iota_y, ry0)  # (KY, TR)
         ey1 = _onehot(iota_y, ry0 + 1.0)
 
-        window_dma(slot, s).wait()
-        win = _roll_window(win_buf[slot, 0], starts_ref[0, s, 2], zc)
+        win = _roll_window(win_fetch(slot, s)[0], starts_ref[0, s, 2], zc)
 
         tA = _dot(win, wzA, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
         tB = _dot(win, wzB, (((1,), (0,)), ((), ())), precision)
@@ -193,7 +191,7 @@ def _fwd_kernel(
 def _bwd_rays_kernel(
     starts_ref, rays_ref, g_ref, vol_ref, dout_ref, win_buf,
     acc_ref, sems,
-    *, ky, zw, zc, precision,
+    *, ky, zw, zc, precision, resident=False,
 ):
     """d(loss)/d(packed rays) for exact Siddon.
 
@@ -208,21 +206,17 @@ def _bwd_rays_kernel(
     r = _ray_rows(rays_ref)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
-    window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, 1, ky, zw)
+    win_init, win_prefetch, win_fetch = _window_reader(
+        vol_ref, starts_ref, win_buf, sems, 1, ky, zw, False, resident)
     lo, hi = _read_range(starts_ref)
 
-    @pl.when(lo < hi)
-    def _():
-        window_dma(0, lo).start()
+    win_init(lo, hi)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)  # rows: a b gy dy gz dz sc pad
 
     def body(s, _):
         slot = jax.lax.rem(s - lo, 2)
-
-        @pl.when(s + 1 < hi)
-        def _():
-            window_dma(jax.lax.rem(s + 1 - lo, 2), s + 1).start()
+        win_prefetch(jax.lax.rem(s + 1 - lo, 2), s + 1, hi)
 
         C, ry0, rz0, aux = _slab_segments(r, s, starts_ref)
         wzA = _onehot(iota_z, rz0)
@@ -230,8 +224,7 @@ def _bwd_rays_kernel(
         ey0 = _onehot(iota_y, ry0)
         ey1 = _onehot(iota_y, ry0 + 1.0)
 
-        window_dma(slot, s).wait()
-        win = _roll_window(win_buf[slot, 0], starts_ref[0, s, 2], zc)
+        win = _roll_window(win_fetch(slot, s)[0], starts_ref[0, s, 2], zc)
 
         tA = _dot(win, wzA, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
         tB = _dot(win, wzB, (((1,), (0,)), ((), ())), precision)
@@ -399,7 +392,8 @@ def _bwd_vol_kernel(
 
 @functools.lru_cache(maxsize=64)
 def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
-                 precision, storage, interpret, use_prepped=False):
+                 precision, storage, interpret, use_prepped=False,
+                 resident=False):
     H, W = image_shape
     other = tuple(d for d in range(3) if d != axis)
     perm3 = (axis,) + other
@@ -430,7 +424,8 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
 
     def run_fwd(vol, rays_tiled, starts, B, N):
         n_tiles = rays_tiled.shape[1] // TR
-        kernel = functools.partial(_fwd_kernel, **kw_static)
+        kernel = functools.partial(_fwd_kernel, resident=resident,
+                                   **kw_static)
         out = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
@@ -441,11 +436,12 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((1, n_tiles * TR), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((2, 1, ky, zw), vol.dtype),
+                _win_scratch(vol, ky, zw, False, resident),
                 pltpu.VMEM((1, TR), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
+            **_vmem_params(resident, vol),
         )(starts, rays_tiled, vol)
         untile, _ = _tile_permutes(perm, B, N, TR, n_tiles_img)
         return untile(out)
@@ -471,7 +467,8 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
         _, tile_g = _tile_permutes(perm, B, N, TR, n_tiles_img)
         g_tiled = tile_g(gc)
 
-        kernel = functools.partial(_bwd_rays_kernel, **kw_static)
+        kernel = functools.partial(_bwd_rays_kernel, resident=resident,
+                                   **kw_static)
         d_rays = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
@@ -484,11 +481,12 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((_NROWS, n_tiles * TR), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((2, 1, ky, zw), vol.dtype),
+                _win_scratch(vol, ky, zw, False, resident),
                 pltpu.VMEM((8, TR), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
+            **_vmem_params(resident, vol),
         )(starts, rays_tiled, g_tiled, vol)
 
         dvol_init = jnp.zeros(vol.shape, jnp.float32)
@@ -551,6 +549,7 @@ def siddon_pallas_raycast(
     storage: Optional[str] = None,
     interpret: bool = False,
     prepped_vol: Optional[jnp.ndarray] = None,
+    resident: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Exact Siddon render via Pallas slab-march kernels, fwd + analytic bwd.
 
@@ -566,9 +565,11 @@ def siddon_pallas_raycast(
     if zc is None:
         zc = zw - 128 if zw > 128 else zw
     use_prepped = prepped_vol is not None
+    resident = _resolve_resident(resident, volume, axis, ky, zw, False,
+                                 storage, None, prepped_vol)
     fn = _make_siddon(
         volume.shape, tuple(image_shape), axis, voxel_shift, eps, tile, ky,
-        zw, zc, precision, storage, interpret, use_prepped,
+        zw, zc, precision, storage, interpret, use_prepped, resident,
     )
     prepped = prepped_vol if use_prepped else jnp.zeros((0,), jnp.float32)
     return fn(volume, source, target, weights, prepped)

@@ -41,13 +41,15 @@ def test_joseph_close_to_siddon(scene):
     assert np.abs(jos - sid).mean() / (np.abs(sid).mean() + 1e-9) < 0.05
 
 
-def test_pallas_forward_parity(scene):
+@pytest.mark.parametrize("resident", [True, False])
+def test_pallas_forward_parity(scene, resident):
+    """Both window modes: VMEM-resident slices and streaming window DMAs."""
     drr, sv, tv, weights, ax = scene
     ref = np.asarray(joseph_raycast(drr.density, sv, tv, weights, axis=ax))
     got = np.asarray(
         joseph_pallas_raycast(
             drr.density, sv, tv, weights, image_shape=(32, 32), axis=ax,
-            tile=16, ky=64, zw=256, interpret=True,
+            tile=16, ky=64, zw=256, interpret=True, resident=resident,
         )
     )
     np.testing.assert_allclose(got, ref, atol=1e-3 * np.abs(ref).max())

@@ -33,11 +33,14 @@ def _pallas(scene_ax, **kw):
     )
 
 
-def test_forward_matches_sort_based_siddon(scene):
-    """The slab decomposition reproduces the sorted-crossings integral."""
+@pytest.mark.parametrize("resident", [True, False])
+def test_forward_matches_sort_based_siddon(scene, resident):
+    """The slab decomposition reproduces the sorted-crossings integral
+    in both window modes (VMEM-resident slices and streaming DMAs)."""
     drr, sv, tv, weights, ax = scene
     ref = np.asarray(siddon_raycast(drr.density, sv, tv, weights))
-    got = np.asarray(_pallas(ax)(drr.density, sv, tv, weights))
+    got = np.asarray(
+        _pallas(ax, resident=resident)(drr.density, sv, tv, weights))
     np.testing.assert_allclose(got, ref, atol=1e-3 * np.abs(ref).max())
 
 
