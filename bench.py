@@ -59,9 +59,12 @@ def main():
     trans = jnp.asarray([[0.0, 850.0, 0.0]], jnp.float32)
     rot0 = jnp.asarray([[0.01, np.pi / 2 + 0.02, -0.01]], jnp.float32)
 
-    def render_scanner(drr, **kw):
+    # The DRR pytree rides through jit as an ARGUMENT: closing over it would
+    # embed the density + cached prepped volumes as HLO constants (slow
+    # compile serialization; overflows the tunneled remote-compile limit).
+    def render_scanner(drr_outer, **kw):
         @partial(jax.jit, static_argnames=("iters",))
-        def run(rot0, iters):
+        def run(drr, rot0, iters):
             def body(carry, _):
                 rot, acc = carry
                 img = drr(rot, trans, parameterization="euler_angles",
@@ -73,11 +76,11 @@ def main():
                                          None, length=iters)
             return acc
 
-        return run
+        return lambda rot0, iters: run(drr_outer, rot0, iters)
 
-    def fwdbwd_scanner(drr, **kw):
+    def fwdbwd_scanner(drr_outer, **kw):
         @partial(jax.jit, static_argnames=("iters",))
-        def run(rot0, iters):
+        def run(drr, rot0, iters):
             def loss(rot, trans):
                 img = drr(rot, trans, parameterization="euler_angles",
                           convention="ZXY", **kw)
@@ -93,7 +96,7 @@ def main():
                                          None, length=iters)
             return acc
 
-        return run
+        return lambda rot0, iters: run(drr_outer, rot0, iters)
 
     extra = {}
 
@@ -152,17 +155,21 @@ def main():
     )
 
     @partial(jax.jit, static_argnames=("iters",))
-    def reg_run(rot_start, iters):
+    def reg_run_inner(drr, tgt, rot_start, iters):
         params, opt_state = init_fn(rot_start, trans + 5.0)
 
         def body(carry, _):
             params, opt_state = carry
-            params, opt_state, score = step_fn(params, opt_state)
+            params, opt_state, score = step_fn.raw(drr, tgt, params,
+                                                   opt_state)
             return (params, opt_state), score
 
         (params, _), scores = jax.lax.scan(body, (params, opt_state), None,
                                            length=iters)
         return jnp.sum(scores) + jnp.sum(params["rotation"])
+
+    def reg_run(rot_start, iters):
+        return reg_run_inner(drr_s, target, rot_start, iters)
 
     t = _per_iter(reg_run, rot0 + 0.03, iters=6, reps=3)
     extra["registration_iters_per_s_200"] = {"ms_per_iter": round(t * 1e3, 3),

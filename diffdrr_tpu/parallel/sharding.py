@@ -110,8 +110,11 @@ def make_sharded_render(
     drr = shard_drr(drr, mesh, ray_axis)
     batch_sharding = NamedSharding(mesh, P(data_axis))
 
+    # ``drr`` rides through jit as an ARGUMENT (it is a pytree): capturing
+    # it in the closure would embed the density + cached prepped volumes as
+    # HLO constants in every compile request.
     @partial(jax.jit, static_argnames=())
-    def render(rotation, translation):
+    def render(drr, rotation, translation):
         return drr(
             rotation,
             translation,
@@ -123,7 +126,7 @@ def make_sharded_render(
     def wrapped(rotation, translation):
         rotation = jax.device_put(rotation, batch_sharding)
         translation = jax.device_put(translation, batch_sharding)
-        return render(rotation, translation)
+        return render(drr, rotation, translation)
 
     return wrapped
 
@@ -347,7 +350,7 @@ def make_reconstruction_step(
         density0 = jax.device_put(density0, replicated)
         return density0, tx.init(density0)
 
-    def loss_fn(density, rotation, translation, measured):
+    def loss_fn(drr, density, rotation, translation, measured):
         pose = convert(
             rotation, translation, parameterization=parameterization,
             convention=convention,
@@ -357,10 +360,11 @@ def make_reconstruction_step(
         img = drr.reshape_transform(img, batch_size=len(pose))
         return jnp.mean((img - measured) ** 2)
 
+    # ``drr`` is a jit argument, not a closure capture (see make_sharded_render).
     @jax.jit
-    def step_fn(density, opt_state, rotation, translation, measured):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            density, rotation, translation, measured
+    def step_fn(drr, density, opt_state, rotation, translation, measured):
+        loss, grads = jax.value_and_grad(loss_fn, argnums=1)(
+            drr, density, rotation, translation, measured
         )
         updates, opt_state = tx.update(grads, opt_state, density)
         density = optax.apply_updates(density, updates)
@@ -370,6 +374,7 @@ def make_reconstruction_step(
         rotation = jax.device_put(rotation, batch_sharding)
         translation = jax.device_put(translation, batch_sharding)
         measured = jax.device_put(measured, batch_sharding)
-        return step_fn(density, opt_state, rotation, translation, measured)
+        return step_fn(drr, density, opt_state, rotation, translation,
+                       measured)
 
     return init_fn, wrapped_step

@@ -177,7 +177,11 @@ def make_registration_step(
     if metric is None:
         metric = MultiscaleNormalizedCrossCorrelation2d([None, 13], [0.5, 0.5])
 
-    def loss_fn(params):
+    # ``drr``/``target_img`` are jit ARGUMENTS, not closure captures: a
+    # captured DRR embeds its density and cached prepped volumes (hundreds
+    # of MB) as HLO constants, which inflates every compile and overflows
+    # the remote-compile request limit on tunneled TPU backends.
+    def loss_of(drr, target_img, params):
         img = drr(
             params["rotation"],
             params["translation"],
@@ -212,8 +216,8 @@ def make_registration_step(
         return params, tx.init(params)
 
     if optimizer == "lbfgs":
-        @jax.jit
-        def step_fn(params, opt_state):
+        def raw_step(drr, target_img, params, opt_state):
+            loss_fn = partial(loss_of, drr, target_img)
             value_and_grad = optax.value_and_grad_from_state(loss_fn)
             loss, grads = value_and_grad(params, state=opt_state)
             updates, opt_state = tx.update(
@@ -224,14 +228,24 @@ def make_registration_step(
             score = -loss if maximize else loss
             return params, opt_state, score
     else:
-        @jax.jit
-        def step_fn(params, opt_state):
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+        def raw_step(drr, target_img, params, opt_state):
+            loss, grads = jax.value_and_grad(
+                partial(loss_of, drr, target_img))(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             score = -loss if maximize else loss
             return params, opt_state, score
 
+    jitted_step = jax.jit(raw_step)
+
+    def step_fn(params, opt_state):
+        return jitted_step(drr, target_img, params, opt_state)
+
+    # Internal seam for loop builders (optimize/optimize_until/bench): the
+    # un-jitted step parameterized by (drr, target_img) so outer jits can
+    # pass them as arguments too.
+    step_fn.raw = raw_step
+    step_fn.operands = (drr, target_img)
     return init_fn, step_fn
 
 
@@ -261,19 +275,20 @@ def optimize(
     if scan is None:
         scan = not verbose
     if scan:
-        def body(carry, _):
-            params, opt_state = carry
-            params, opt_state, score = step_fn(params, opt_state)
-            return (params, opt_state), score
-
         @partial(jax.jit, static_argnames=("n",))
-        def run(params, opt_state, n):
+        def run(drr, target_img, params, opt_state, n):
+            def body(carry, _):
+                params, opt_state = carry
+                params, opt_state, score = step_fn.raw(
+                    drr, target_img, params, opt_state)
+                return (params, opt_state), score
+
             (params, opt_state), scores = jax.lax.scan(
                 body, (params, opt_state), None, length=n
             )
             return params, scores
 
-        params, scores = run(params, opt_state, n_iters)
+        params, scores = run(drr, target_img, params, opt_state, n_iters)
         trace = [float(s) for s in np.asarray(scores)]
     else:
         trace = []
@@ -322,14 +337,15 @@ def optimize_until(
         return jnp.max(geodesic(true_pose, est)[2])
 
     @jax.jit
-    def run(params, opt_state):
+    def run(drr, target_img, params, opt_state):
         def cond(carry):
             _, _, it, dist = carry
             return (dist > tol_mm) & (it < max_iters)
 
         def body(carry):
             params, opt_state, it, _ = carry
-            params, opt_state, _ = step_fn(params, opt_state)
+            params, opt_state, _ = step_fn.raw(
+                drr, target_img, params, opt_state)
             return params, opt_state, it + 1, distance(params)
 
         params, opt_state, n, dist = jax.lax.while_loop(
@@ -337,7 +353,7 @@ def optimize_until(
         )
         return params, n, dist
 
-    params, n, dist = run(params0, opt_state0)
+    params, n, dist = run(drr, target_img, params0, opt_state0)
     return params["rotation"], params["translation"], n, dist
 
 

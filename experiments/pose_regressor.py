@@ -50,7 +50,7 @@ def main(cpu, n_steps, batch_size, height, volume_size, parameterization, lr):
     rot0 = jnp.asarray([[0.0, np.pi / 2, 0.0]], jnp.float32)
     trans0 = jnp.asarray([[0.0, 850.0, 0.0]], jnp.float32)
 
-    def sample_batch(key):
+    def sample_batch(drr, key):
         k1, k2 = jax.random.split(key)
         drot = 0.1 * jax.random.normal(k1, (batch_size, 3))
         dtrans = 15.0 * jax.random.normal(k2, (batch_size, 3))
@@ -73,12 +73,17 @@ def main(cpu, n_steps, batch_size, height, volume_size, parameterization, lr):
         )
         return jnp.mean(dR + 1e-4 * dt)
 
+    # drr is a jit ARGUMENT, not a closure capture (captured arrays become
+    # HLO constants and bloat every compile request).
     @jax.jit
-    def step(params, opt_state, key):
-        imgs, pose_true = sample_batch(key)
+    def step_inner(drr, params, opt_state, key):
+        imgs, pose_true = sample_batch(drr, key)
         loss, grads = jax.value_and_grad(loss_fn)(params, imgs, pose_true)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
+
+    def step(params, opt_state, key):
+        return step_inner(drr, params, opt_state, key)
 
     key = jax.random.PRNGKey(1)
     t0 = time.perf_counter()

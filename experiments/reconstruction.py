@@ -72,7 +72,9 @@ def main(cpu, n_views, n_iters, height, volume_size, lr, mesh, renderer):
         density = jnp.zeros_like(drr.density)
         opt_state = tx.init(density)
 
-        def loss_fn(density):
+        # drr/measured are jit ARGUMENTS (pytrees), not closure captures:
+        # captured arrays become HLO constants and bloat every compile.
+        def loss_fn(drr, measured, density):
             from diffdrr_tpu.pose import convert
 
             pose = convert(rot, trans, parameterization="euler_angles",
@@ -83,10 +85,14 @@ def main(cpu, n_views, n_iters, height, volume_size, lr, mesh, renderer):
             return jnp.mean((img - measured) ** 2)
 
         @jax.jit
-        def step(density, opt_state):
-            loss, grads = jax.value_and_grad(loss_fn)(density)
+        def step_inner(drr, measured, density, opt_state):
+            loss, grads = jax.value_and_grad(loss_fn, argnums=2)(
+                drr, measured, density)
             updates, opt_state = tx.update(grads, opt_state, density)
             return optax.apply_updates(density, updates), opt_state, loss
+
+        def step(density, opt_state):
+            return step_inner(drr, measured, density, opt_state)
 
     t0 = time.perf_counter()
     for it in range(n_iters):

@@ -57,15 +57,17 @@ def main(cpu, n_runs, height, volume_size, method, maxiter, seed):
 
     import jax
 
+    # drr/target are jit ARGUMENTS, not closure captures (captured arrays
+    # become HLO constants and bloat every compile request).
     @jax.jit
-    def score(rot, trans):
+    def score(drr, target, rot, trans):
         img = drr(rot, trans, parameterization="euler_angles", convention="ZXY")
         return -jnp.mean(metric(img, target))
 
     def objective(x):
         rot = jnp.asarray(x[:3], jnp.float32)[None]
         trans = jnp.asarray(x[3:], jnp.float32)[None]
-        return float(score(rot, trans))
+        return float(score(drr, target, rot, trans))
 
     rng = np.random.default_rng(seed)
     for run in range(n_runs):

@@ -63,19 +63,26 @@ tx = optax.adam(5e-2)
 opt_state = tx.init(density)
 
 
-def loss_fn(density):
+# The DRR and measured projections ride through jit as ARGUMENTS (pytrees):
+# closing over them would embed the volume as compile-time constants.
+def loss_fn(drr, measured, density):
     img = drr.render(density, source, target, n_points=n_points)
     img = drr.reshape_transform(img, batch_size=n_views)
     return jnp.mean((img - measured) ** 2)
 
 
 @jax.jit
-def step(density, opt_state):
-    loss, grads = jax.value_and_grad(loss_fn)(density)
+def step_inner(drr, measured, density, opt_state):
+    loss, grads = jax.value_and_grad(loss_fn, argnums=2)(drr, measured,
+                                                         density)
     updates, opt_state = tx.update(grads, opt_state, density)
     # Densities are physical attenuation: project onto the nonnegative cone.
     density = jnp.maximum(optax.apply_updates(density, updates), 0.0)
     return density, opt_state, loss
+
+
+def step(density, opt_state):
+    return step_inner(drr, measured, density, opt_state)
 
 
 n_iters = 200 if FULL else 120

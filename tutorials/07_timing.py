@@ -39,11 +39,17 @@ rot0 = jnp.array([[0.01, np.pi / 2, -0.01]])
 H = 48
 
 
-def scan_timer(drr, **kw):
-    """Carry-dependent K-iteration render loop (cache-proof)."""
+def scan_timer(drr_outer, **kw):
+    """Carry-dependent K-iteration render loop (cache-proof).
+
+    Note the DRR rides through ``jax.jit`` as an ARGUMENT (it is a pytree).
+    Closing over it instead would embed the CT volume (and any cached
+    prepped volumes) as constants in the compiled program — slow compiles,
+    and on tunneled TPU backends an oversized remote-compile request.
+    """
 
     @partial(jax.jit, static_argnames=("iters",))
-    def run(rot0, iters):
+    def run(drr, rot0, iters):
         def body(carry, _):
             rot, acc = carry
             img = drr(rot, trans, parameterization="euler_angles",
@@ -57,7 +63,7 @@ def scan_timer(drr, **kw):
                                      None, length=iters)
         return acc
 
-    return run
+    return lambda rot0, iters: run(drr_outer, rot0, iters)
 
 
 def per_iter_ms(run, iters=8):
@@ -88,12 +94,12 @@ assert all(ms > 0 for _, ms, _ in rows)
 # the two timers disagree at most modestly on CPU (both honest here) — on
 # the axon TPU tunnel the naive loop is wrong by orders of magnitude.
 drr = DRR(subject, sdd=1020.0, height=H, delx=6.0, renderer="joseph")
-fn = jax.jit(lambda r: drr(r, trans, parameterization="euler_angles",
-                           convention="ZXY"))
-fn(rot0).block_until_ready()
+fn = jax.jit(lambda d, r: d(r, trans, parameterization="euler_angles",
+                            convention="ZXY"))
+fn(drr, rot0).block_until_ready()
 t0 = time.perf_counter()
 for _ in range(8):
-    out = fn(rot0)
+    out = fn(drr, rot0)
 out.block_until_ready()
 naive_ms = (time.perf_counter() - t0) / 8 * 1e3
 print(f"naive identical-call loop: {naive_ms:.2f} ms/render "
