@@ -708,9 +708,12 @@ def _compute_starts(rays_tiled, n_tiles, TR, n_planes, h, Y, Z, ky, zw, zc):
     big = jnp.float32(1e9)
 
     # Scan over plane CHUNKS: materializing (tiles, TR, P) at once costs
-    # gigabytes for megapixel detectors, while one tiny step per plane is
-    # dispatch-bound; ~32-plane chunks balance both.
-    chunk = min(32, n_planes)
+    # gigabytes for megapixel detectors, while many tiny scan steps serialize
+    # the render's fixed overhead. Budget ~128 MB per intermediate: common
+    # sizes (200^2: 169 tiles) run as ONE fused op, megapixel detectors get
+    # a handful of large chunks.
+    budget_elems = 32 * 2**20
+    chunk = int(np.clip(budget_elems // max(1, n_tiles * TR), 8, n_planes))
     n_chunks = -(-n_planes // chunk)
     ks = jnp.arange(n_chunks * chunk, dtype=jnp.float32) * h
     ks_chunks = ks.reshape(n_chunks, chunk)
