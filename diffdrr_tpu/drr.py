@@ -589,11 +589,19 @@ class DRR:
                 xopts = {k: v for k, v in opts.items()
                          if k not in ("axis", "step", "n_points",
                                       "allow_oversample", "resident")}
-                fallback = _RENDERERS["siddon"]
+                # Rematerialize: the oracle's sort/take_along_axis saves u32
+                # gather-index residuals whose trailing unit dim lane-pads
+                # x128 under TPU (8,128) tiling; stacked across lax.map
+                # chunks by the backward scan they reach tens of GB. With
+                # remat the backward recomputes each chunk instead.
+                fallback = jax.checkpoint(
+                    partial(_RENDERERS["siddon"], **xopts),
+                    policy=jax.checkpoint_policies.nothing_saveable,
+                )
                 N = target.shape[1]
                 chunk = 16384
                 if N <= chunk:
-                    return fallback(density, source, target, weights, **xopts)
+                    return fallback(density, source, target, weights)
                 n_chunks = -(-N // chunk)
                 pad = n_chunks * chunk - N
                 tgt = jnp.pad(target, ((0, 0), (0, pad), (0, 0)), mode="edge")
@@ -602,7 +610,7 @@ class DRR:
                 wgt = wgt.reshape(weights.shape[0], weights.shape[1],
                                   n_chunks, chunk)
                 out = jax.lax.map(
-                    lambda tw: fallback(density, source, tw[0], tw[1], **xopts),
+                    lambda tw: fallback(density, source, tw[0], tw[1]),
                     (jnp.moveaxis(tgt, 1, 0), jnp.moveaxis(wgt, 2, 0)),
                 )  # (n_chunks, B, C, chunk)
                 out = jnp.moveaxis(out, 0, 2)  # (B, C, n_chunks, chunk)
