@@ -31,8 +31,10 @@ def _time_scan(run, variants, iters):
     times = []
     for v in variants:
         t0 = time.perf_counter()
-        out = run(v, iters)
-        out.block_until_ready()
+        # float() forces a device->host value transfer: unlike
+        # block_until_ready on a tunneled array handle, it cannot complete
+        # until the computation actually ran.
+        float(run(v, iters))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
@@ -40,12 +42,18 @@ def _time_scan(run, variants, iters):
 
 def _per_iter(run, rot0, iters=6, reps=3):
     """Per-iteration seconds from the K-vs-1 scan difference."""
-    run(rot0, 1).block_until_ready()
-    run(rot0, 1 + iters).block_until_ready()
-    t1 = _time_scan(run, [rot0 + 1e-4 * (i + 1) for i in range(reps)], 1)
-    tk = _time_scan(run, [rot0 + 1e-4 * (i + 11) for i in range(reps)],
-                    1 + iters)
-    return max((tk - t1) / iters, 1e-9)
+    float(run(rot0, 1))
+    float(run(rot0, 1 + iters))
+    for attempt in range(3):
+        t1 = _time_scan(run, [rot0 + 1e-4 * (i + 1) for i in range(reps)], 1)
+        tk = _time_scan(run, [rot0 + 1e-4 * (i + 11) for i in range(reps)],
+                        1 + iters)
+        per = (tk - t1) / iters
+        # A nonpositive or sub-0.1 ms difference means a transient tunnel
+        # glitch (async handles resolving early), not a real measurement.
+        if per > 1e-4:
+            return per
+    return max(per, 1e-9)
 
 
 def main():
