@@ -418,17 +418,25 @@ def _bwd_rays_kernel(
         uz = rz - iota_z
         wy = _tent(uy)
         wz0 = _tent(uz)
-        wzs = wz0 * scale
 
         win = _blend_win(win_fetch(slot, p), p, h, n_src, blend)
         win = _roll_window(win, starts_ref[0, p, 2], zc)
 
-        t1 = _dot(win, wzs, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
-        t2 = _dot(win, wy, (((0,), (0,)), ((), ())), precision)  # (ZC, TR)
+        # One fused MXU contraction instead of two: with t4 = win @ wz0 and
+        # t3 = win @ tent'(uz) (both over z), the chain-rule sums become
+        # KY-row reductions —
+        #   dry = scale * sum_m tent'(uy) t4   (t1 = win @ (wz0*scale)
+        #                                       factors as scale * t4)
+        #   drz = scale * sum_m wy t3          (swap the m/n summation order)
+        #   dsc = [inslab] sum_m wy t4
+        rhs = jnp.concatenate([wz0, _tent_d(uz)], axis=1)  # (ZC, 2*TR)
+        t43 = _dot(win, rhs, (((1,), (0,)), ((), ())), precision)
+        t4 = t43[:, :tr]  # (KY, TR)
+        t3 = t43[:, tr:]
 
-        dry = jnp.sum(_tent_d(uy) * t1, axis=0, keepdims=True)  # (1, TR)
-        drz = jnp.sum(_tent_d(uz) * t2, axis=0, keepdims=True) * scale
-        dsc = jnp.sum(wz0 * t2, axis=0, keepdims=True)
+        dry = jnp.sum(_tent_d(uy) * t4, axis=0, keepdims=True) * scale
+        drz = jnp.sum(wy * t3, axis=0, keepdims=True) * scale
+        dsc = jnp.sum(wy * t4, axis=0, keepdims=True)
         dsc = jnp.where(inslab, dsc, 0.0)
 
         if n_ch is not None:

@@ -171,14 +171,18 @@ def _fwd_kernel(
 
         win = _roll_window(win_fetch(slot, s)[0], starts_ref[0, s, 2], zc)
 
-        tA = _dot(win, wzA, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
-        tB = _dot(win, wzB, (((1,), (0,)), ((), ())), precision)
-        # Corner values per ray, then a scalar-weighted combine — cheaper on
-        # the VPU than materializing C-weighted (KY, TR) matrices.
-        v00 = jnp.sum(ey0 * tA, axis=0, keepdims=True)
-        v10 = jnp.sum(ey1 * tA, axis=0, keepdims=True)
-        v01 = jnp.sum(ey0 * tB, axis=0, keepdims=True)
-        v11 = jnp.sum(ey1 * tB, axis=0, keepdims=True)
+        # One fused MXU contraction for both z-corners: win @ [wzA | wzB],
+        # then corner values per ray via paired one-hot row reductions —
+        # cheaper on the VPU than materializing C-weighted (KY, TR)
+        # matrices, and half the matmul dispatches.
+        tAB = _dot(win, jnp.concatenate([wzA, wzB], axis=1),
+                   (((1,), (0,)), ((), ())), precision)  # (KY, 2*TR)
+        ey0p = jnp.concatenate([ey0, ey0], axis=1)
+        ey1p = jnp.concatenate([ey1, ey1], axis=1)
+        v0 = jnp.sum(ey0p * tAB, axis=0, keepdims=True)  # [v00 | v01]
+        v1 = jnp.sum(ey1p * tAB, axis=0, keepdims=True)  # [v10 | v11]
+        v00, v01 = v0[:, :tr], v0[:, tr:]
+        v10, v11 = v1[:, :tr], v1[:, tr:]
         acc_ref[...] += (
             C[0][0] * v00 + C[1][0] * v10 + C[0][1] * v01 + C[1][1] * v11
         )
@@ -226,14 +230,16 @@ def _bwd_rays_kernel(
 
         win = _roll_window(win_fetch(slot, s)[0], starts_ref[0, s, 2], zc)
 
-        tA = _dot(win, wzA, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
-        tB = _dot(win, wzB, (((1,), (0,)), ((), ())), precision)
-
-        # Corner values V[y0+i, z0+j] per ray.
-        v00 = jnp.sum(ey0 * tA, axis=0, keepdims=True)
-        v10 = jnp.sum(ey1 * tA, axis=0, keepdims=True)
-        v01 = jnp.sum(ey0 * tB, axis=0, keepdims=True)
-        v11 = jnp.sum(ey1 * tB, axis=0, keepdims=True)
+        # Corner values V[y0+i, z0+j] per ray: fused contraction + paired
+        # one-hot reductions (see _fwd_kernel).
+        tAB = _dot(win, jnp.concatenate([wzA, wzB], axis=1),
+                   (((1,), (0,)), ((), ())), precision)  # (KY, 2*TR)
+        ey0p = jnp.concatenate([ey0, ey0], axis=1)
+        ey1p = jnp.concatenate([ey1, ey1], axis=1)
+        v0 = jnp.sum(ey0p * tAB, axis=0, keepdims=True)
+        v1 = jnp.sum(ey1p * tAB, axis=0, keepdims=True)
+        v00, v01 = v0[:, :tr], v0[:, tr:]
+        v10, v11 = v1[:, :tr], v1[:, tr:]
 
         # Per-segment values via the (iy, iz) selectors.
         Vs = []
@@ -359,8 +365,11 @@ def _bwd_vol_kernel(
         wyA = (C[0][0] * ey0 + C[1][0] * ey1) * g
         wyB = (C[0][1] * ey0 + C[1][1] * ey1) * g
 
-        dwin = _dot(wyA, wzA, (((1,), (1,)), ((), ())), precision)
-        dwin += _dot(wyB, wzB, (((1,), (1,)), ((), ())), precision)
+        # wyA @ wzA^T + wyB @ wzB^T as one contraction over the doubled ray
+        # axis: [wyA | wyB] @ [wzA | wzB]^T.
+        dwin = _dot(jnp.concatenate([wyA, wyB], axis=1),
+                    jnp.concatenate([wzA, wzB], axis=1),
+                    (((1,), (1,)), ((), ())), precision)
         if zc != zw:
             dwin = jnp.pad(dwin, ((0, 0), (0, zw - zc)))
             dwin = pltpu.roll(dwin, starts_ref[0, s, 2], axis=1)
