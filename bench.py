@@ -21,9 +21,40 @@ several distinct fresh inputs.
 """
 
 import json
+import signal
 import time
 
 import numpy as np
+
+
+class _MetricTimeout(Exception):
+    pass
+
+
+def _with_timeout(fn, seconds, errors, name):
+    """Run one metric under a SIGALRM watchdog.
+
+    The axon TPU tunnel can hang indefinitely (observed multi-hour outages);
+    a single stuck dispatch must not take the whole bench down with it.
+    Returns ``fn()`` or ``None`` on timeout/error (recorded in ``errors``).
+    """
+
+    def _raise(signum, frame):
+        raise _MetricTimeout(name)
+
+    prev = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        return fn()
+    except _MetricTimeout:
+        errors[name] = f"timeout after {seconds}s (TPU tunnel stall?)"
+        return None
+    except Exception as e:  # pragma: no cover - diagnostic path
+        errors[name] = f"{type(e).__name__}: {e}"
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)
 
 
 def _time_scan(run, variants, iters):
@@ -107,94 +138,161 @@ def main():
         return lambda rot0, iters: run(drr_outer, rot0, iters)
 
     extra = {}
+    errors = {}
+    deadline = time.monotonic() + 45 * 60  # global budget across metrics
+
+    # Hard safety net: SIGALRM can't preempt a main thread stuck inside a
+    # C-level wait that never returns (a dead tunnel), so a daemon thread
+    # guarantees ONE JSON line gets printed even then.
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def _reaper():
+        if done.wait(timeout=50 * 60):
+            return
+        errors["__global__"] = "hard deadline: bench killed mid-metric"
+        print(json.dumps({
+            "metric": "siddon_render_rays_per_s_200x200_512ct",
+            "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+            "extra": extra, "errors": errors}), flush=True)
+        os._exit(2)
+
+    threading.Thread(target=_reaper, daemon=True).start()
+
+    def measure(name, fn, seconds=600):
+        if time.monotonic() > deadline:
+            errors[name] = "skipped: global bench deadline reached"
+            return None
+        return _with_timeout(fn, seconds, errors, name)
 
     # --- 200^2 renderers (the common registration size) ---
+    # DRR construction transfers the cached prepped volumes to the device, so
+    # it also rides under a watchdog.
     n200 = 200 * 200
-    drr_s = DRR(subject, sdd=1020.0, height=200, delx=2.0, renderer="siddon")
-    t = _per_iter(render_scanner(drr_s, axis=2), rot0)
-    extra["siddon_fwd_200"] = {"ms": round(t * 1e3, 3),
-                               "rays_per_s": round(n200 / t, 1),
-                               "vs_baseline": round((24.6e-3) / t, 3)}
-    headline_rays = n200 / t
+    drr_s = measure("construct_siddon", lambda: DRR(
+        subject, sdd=1020.0, height=200, delx=2.0, renderer="siddon"), 300)
+    if drr_s is None:
+        print(json.dumps({
+            "metric": "siddon_render_rays_per_s_200x200_512ct",
+            "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+            "errors": errors}))
+        return
 
-    t = _per_iter(fwdbwd_scanner(drr_s, axis=2), rot0)
-    extra["siddon_fwd_posebwd_200"] = {"ms": round(t * 1e3, 3),
+    t = measure("siddon_fwd_200",
+                lambda: _per_iter(render_scanner(drr_s, axis=2), rot0))
+    headline_rays = None
+    if t is not None:
+        extra["siddon_fwd_200"] = {"ms": round(t * 1e3, 3),
+                                   "rays_per_s": round(n200 / t, 1),
+                                   "vs_baseline": round((24.6e-3) / t, 3)}
+        headline_rays = n200 / t
+
+    t = measure("siddon_fwd_posebwd_200",
+                lambda: _per_iter(fwdbwd_scanner(drr_s, axis=2), rot0))
+    if t is not None:
+        extra["siddon_fwd_posebwd_200"] = {"ms": round(t * 1e3, 3),
+                                           "rays_per_s": round(n200 / t, 1)}
+
+    drr_j = measure("construct_joseph", lambda: DRR(
+        subject, sdd=1020.0, height=200, delx=2.0, renderer="joseph"), 300)
+    if drr_j is not None:
+        t = measure("joseph_fwd_200",
+                    lambda: _per_iter(render_scanner(drr_j, axis=2), rot0))
+        if t is not None:
+            extra["joseph_fwd_200"] = {"ms": round(t * 1e3, 3),
                                        "rays_per_s": round(n200 / t, 1)}
 
-    drr_j = DRR(subject, sdd=1020.0, height=200, delx=2.0, renderer="joseph")
-    t = _per_iter(render_scanner(drr_j, axis=2), rot0)
-    extra["joseph_fwd_200"] = {"ms": round(t * 1e3, 3),
-                               "rays_per_s": round(n200 / t, 1)}
+        t = measure("joseph_fwd_posebwd_200",
+                    lambda: _per_iter(fwdbwd_scanner(drr_j, axis=2), rot0))
+        if t is not None:
+            extra["joseph_fwd_posebwd_200"] = {
+                "ms": round(t * 1e3, 3), "rays_per_s": round(n200 / t, 1)}
 
-    t = _per_iter(fwdbwd_scanner(drr_j, axis=2), rot0)
-    extra["joseph_fwd_posebwd_200"] = {"ms": round(t * 1e3, 3),
-                                       "rays_per_s": round(n200 / t, 1)}
+    drr_t = measure("construct_trilinear", lambda: DRR(
+        subject, sdd=1020.0, height=200, delx=2.0, renderer="trilinear"), 300)
+    if drr_t is not None:
+        t = measure("trilinear_kernel_fwd_200_n500",
+                    lambda: _per_iter(
+                        render_scanner(drr_t, axis=2, n_points=500), rot0))
+        if t is not None:
+            extra["trilinear_kernel_fwd_200_n500"] = {
+                "ms": round(t * 1e3, 3), "rays_per_s": round(n200 / t, 1),
+                "vs_baseline": round(7.63e-3 / t, 3),
+                "note": "plane-aligned sampling capped at one sample/plane"
+                        " (133)",
+            }
 
-    drr_t = DRR(subject, sdd=1020.0, height=200, delx=2.0,
-                renderer="trilinear")
-    t = _per_iter(render_scanner(drr_t, axis=2, n_points=500), rot0)
-    extra["trilinear_kernel_fwd_200_n500"] = {
-        "ms": round(t * 1e3, 3), "rays_per_s": round(n200 / t, 1),
-        "vs_baseline": round(7.63e-3 / t, 3),
-        "note": "plane-aligned sampling capped at one sample/plane (133)",
-    }
-
-    t = _per_iter(fwdbwd_scanner(drr_t, axis=2, n_points=500), rot0)
-    extra["trilinear_fwd_posebwd_200_n500"] = {
-        "ms": round(t * 1e3, 3), "rays_per_s": round(n200 / t, 1)}
+        t = measure("trilinear_fwd_posebwd_200_n500",
+                    lambda: _per_iter(
+                        fwdbwd_scanner(drr_t, axis=2, n_points=500), rot0))
+        if t is not None:
+            extra["trilinear_fwd_posebwd_200_n500"] = {
+                "ms": round(t * 1e3, 3), "rays_per_s": round(n200 / t, 1)}
 
     # --- 1000^2 (the reference needs patch_size=250 here; we don't) ---
     n1000 = 1000 * 1000
-    drr_L = DRR(subject, sdd=1020.0, height=1000, delx=0.4,
-                renderer="siddon")
-    t = _per_iter(render_scanner(drr_L, axis=2), rot0, iters=4, reps=3)
-    extra["siddon_fwd_1000"] = {"ms": round(t * 1e3, 3),
-                                "rays_per_s": round(n1000 / t, 1),
-                                "vs_baseline": round(341e-3 / t, 3)}
+    drr_L = measure("construct_siddon_1000", lambda: DRR(
+        subject, sdd=1020.0, height=1000, delx=0.4, renderer="siddon"), 300)
+    if drr_L is not None:
+        t = measure("siddon_fwd_1000",
+                    lambda: _per_iter(render_scanner(drr_L, axis=2), rot0,
+                                      iters=4, reps=3))
+        if t is not None:
+            extra["siddon_fwd_1000"] = {"ms": round(t * 1e3, 3),
+                                        "rays_per_s": round(n1000 / t, 1),
+                                        "vs_baseline": round(341e-3 / t, 3)}
 
     # --- registration iterations/s (the flagship loop, on-device scan) ---
     from diffdrr_tpu.registration import make_registration_step
 
-    target = drr_s(rot0, trans, parameterization="euler_angles",
-                   convention="ZXY", axis=2)
-    init_fn, step_fn = make_registration_step(
-        drr_s, target, "euler_angles", "ZXY", lr_rotation=1e-3,
-        lr_translation=1e-1, axis=2,
-    )
+    def reg_metric():
+        target = drr_s(rot0, trans, parameterization="euler_angles",
+                       convention="ZXY", axis=2)
+        init_fn, step_fn = make_registration_step(
+            drr_s, target, "euler_angles", "ZXY", lr_rotation=1e-3,
+            lr_translation=1e-1, axis=2,
+        )
 
-    @partial(jax.jit, static_argnames=("iters",))
-    def reg_run_inner(drr, tgt, rot_start, iters):
-        params, opt_state = init_fn(rot_start, trans + 5.0)
+        @partial(jax.jit, static_argnames=("iters",))
+        def reg_run_inner(drr, tgt, rot_start, iters):
+            params, opt_state = init_fn(rot_start, trans + 5.0)
 
-        def body(carry, _):
-            params, opt_state = carry
-            params, opt_state, score = step_fn.raw(drr, tgt, params,
-                                                   opt_state)
-            return (params, opt_state), score
+            def body(carry, _):
+                params, opt_state = carry
+                params, opt_state, score = step_fn.raw(drr, tgt, params,
+                                                       opt_state)
+                return (params, opt_state), score
 
-        (params, _), scores = jax.lax.scan(body, (params, opt_state), None,
-                                           length=iters)
-        return jnp.sum(scores) + jnp.sum(params["rotation"])
+            (params, _), scores = jax.lax.scan(body, (params, opt_state),
+                                               None, length=iters)
+            return jnp.sum(scores) + jnp.sum(params["rotation"])
 
-    def reg_run(rot_start, iters):
-        return reg_run_inner(drr_s, target, rot_start, iters)
+        def reg_run(rot_start, iters):
+            return reg_run_inner(drr_s, target, rot_start, iters)
 
-    t = _per_iter(reg_run, rot0 + 0.03, iters=6, reps=3)
-    extra["registration_iters_per_s_200"] = {"ms_per_iter": round(t * 1e3, 3),
-                                             "iters_per_s": round(1.0 / t, 2)}
+        return _per_iter(reg_run, rot0 + 0.03, iters=6, reps=3)
+
+    t = measure("registration_iters_per_s_200", reg_metric)
+    if t is not None:
+        extra["registration_iters_per_s_200"] = {
+            "ms_per_iter": round(t * 1e3, 3),
+            "iters_per_s": round(1.0 / t, 2)}
 
     baseline = 40_000 / 24.6e-3  # reference Siddon 200^2 on RTX 2080 Ti
-    print(
-        json.dumps(
-            {
-                "metric": "siddon_render_rays_per_s_200x200_512ct",
-                "value": round(headline_rays, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(headline_rays / baseline, 3),
-                "extra": extra,
-            }
-        )
-    )
+    out = {
+        "metric": "siddon_render_rays_per_s_200x200_512ct",
+        "value": round(headline_rays, 1) if headline_rays else 0.0,
+        "unit": "rays/s",
+        "vs_baseline": (round(headline_rays / baseline, 3)
+                        if headline_rays else 0.0),
+        "extra": extra,
+    }
+    if errors:
+        out["errors"] = errors
+    done.set()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
