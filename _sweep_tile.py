@@ -1,0 +1,105 @@
+"""Sweep pallas tile/window configs for joseph+siddon fwd at 200^2 on TPU."""
+import sys
+import time
+import numpy as np
+import jax, jax.numpy as jnp
+from functools import partial
+
+from diffdrr_tpu import DRR, load_example_ct
+
+subject = load_example_ct(shape=(512, 512, 133))
+trans = jnp.asarray([[0.0, 850.0, 0.0]], jnp.float32)
+rot0 = jnp.asarray([[0.01, np.pi / 2 + 0.02, -0.01]], jnp.float32)
+
+
+def render_scanner(drr, **kw):
+    @partial(jax.jit, static_argnames=("iters",))
+    def run(drr, rot0, iters):
+        def body(carry, _):
+            rot, acc = carry
+            img = drr(rot, trans, parameterization="euler_angles",
+                      convention="ZXY", **kw)
+            rot = rot + 1e-6 * jnp.mean(img)
+            return (rot, acc + jnp.mean(img)), None
+        (rot, acc), _ = jax.lax.scan(body, (rot0, jnp.float32(0.0)),
+                                     None, length=iters)
+        return acc
+    return lambda rot0, iters: run(drr, rot0, iters)
+
+
+def per_iter(run, rot0, iters=6, reps=3):
+    float(run(rot0, 1))
+    float(run(rot0, 1 + iters))
+    for _ in range(3):
+        def t(vs, n):
+            ts = []
+            for v in vs:
+                t0 = time.perf_counter()
+                float(run(v, n))
+                ts.append(time.perf_counter() - t0)
+            ts.sort()
+            return ts[len(ts) // 2]
+        t1 = t([rot0 + 1e-4 * (i + 1) for i in range(reps)], 1)
+        tk = t([rot0 + 1e-4 * (i + 11) for i in range(reps)], 1 + iters)
+        per = (tk - t1) / iters
+        if per > 1e-4:
+            return per
+    return max(per, 1e-9)
+
+
+CONFIGS = {
+    "joseph_t16": dict(renderer="joseph", pallas_tile=16),
+    "joseph_t32": dict(renderer="joseph", pallas_tile=32),
+    "siddon_t16": dict(renderer="siddon", pallas_tile=16),
+    "siddon_t32": dict(renderer="siddon", pallas_tile=32),
+}
+
+BWD = {"bwd"}
+
+
+def run_one(name, bwd=False):
+    kwargs = CONFIGS[name]
+    drr = DRR(subject, sdd=1020.0, height=200, delx=2.0, **kwargs)
+    print(name, "cfg", drr.pallas_cfg[2], flush=True)
+    if bwd:
+        import jax
+
+        def scanner(drr_outer, **kw):
+            @partial(jax.jit, static_argnames=("iters",))
+            def run(drr, rot0, iters):
+                def loss(rot):
+                    img = drr(rot, trans, parameterization="euler_angles",
+                              convention="ZXY", **kw)
+                    return jnp.mean(img)
+
+                def body(carry, _):
+                    rot, acc = carry
+                    val, g = jax.value_and_grad(loss)(rot)
+                    rot = rot + 1e-6 * val + 1e-9 * g
+                    return (rot, acc + val), None
+
+                (rot, acc), _ = jax.lax.scan(
+                    body, (rot0, jnp.float32(0.0)), None, length=iters)
+                return acc
+            return lambda rot0, iters: run(drr_outer, rot0, iters)
+    else:
+        scanner = render_scanner
+    tm = per_iter(scanner(drr, axis=2), rot0)
+    print(f"{name}{'_bwd' if bwd else ''}: {tm*1e3:.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    if args and args[0] == "--one":
+        run_one(args[1], bwd=len(args) > 2 and args[2] == "bwd")
+    else:
+        # Each config in its OWN subprocess: shared-process runs have shown
+        # cross-contamination (compile-cache pressure, allocator state).
+        import subprocess
+        names = args or list(CONFIGS)
+        for name in names:
+            bwd = name.endswith("_bwd")
+            base = name[:-4] if bwd else name
+            cmd = [sys.executable, __file__, "--one", base] + (
+                ["bwd"] if bwd else [])
+            subprocess.run(cmd, check=False)

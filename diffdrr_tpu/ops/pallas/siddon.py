@@ -143,14 +143,48 @@ def _onehot(iota, pos):
     return (jnp.abs(iota - pos) < 0.5).astype(jnp.float32)
 
 
+def _paired_onehots(iota_y2, iota_z2, ry0, rz0):
+    """Doubled-width one-hot operands for the fused corner contraction.
+
+    Builds directly at (KY, 2*TR) / (ZC, 2*TR) width — a broadcast against a
+    concatenated (1, 2*TR) position row — instead of building two halves and
+    concatenating (saves the VPU copy per slab step). Returns:
+      wz  = [onehot(rz0) | onehot(rz0+1)]   (ZC, 2TR) matmul RHS
+      ey2 = [onehot(ry0) | onehot(ry0+1)]   (KY, 2TR)
+      eyr = [onehot(ry0+1) | onehot(ry0)]   (KY, 2TR) (lane roll of ey2)
+    """
+    tr = ry0.shape[1]
+    wz = _onehot(iota_z2, jnp.concatenate([rz0, rz0 + 1.0], axis=1))
+    ey2 = _onehot(iota_y2, jnp.concatenate([ry0, ry0 + 1.0], axis=1))
+    eyr = pltpu.roll(ey2, tr, axis=1)
+    return wz, ey2, eyr
+
+
+def _corner_values(win, wz, ey2, eyr, precision):
+    """All four 2x2 corner values per ray from ONE MXU contraction.
+
+    tAB = win @ wz = [tA | tB]; with ey2/eyr as above, two double-width
+    row reductions give [v00 | v11] and [v10 | v01].
+    """
+    tr = ey2.shape[1] // 2
+    tAB = _dot(win, wz, (((1,), (0,)), ((), ())), precision)  # (KY, 2TR)
+    vA = jnp.sum(ey2 * tAB, axis=0, keepdims=True)  # [v00 | v11]
+    vB = jnp.sum(eyr * tAB, axis=0, keepdims=True)  # [v10 | v01]
+    v00, v11 = vA[:, :tr], vA[:, tr:]
+    v10, v01 = vB[:, :tr], vB[:, tr:]
+    return v00, v01, v10, v11
+
+
 def _fwd_kernel(
     starts_ref, rays_ref, vol_ref, out_ref, win_buf, acc_ref, sems,
     *, ky, zw, zc, precision, resident=False,
 ):
     tr = rays_ref.shape[1]
     r = _ray_rows(rays_ref)
-    iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
-    iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
+    iota_y2 = jax.lax.broadcasted_iota(
+        jnp.int32, (ky, 2 * tr), 0).astype(jnp.float32)
+    iota_z2 = jax.lax.broadcasted_iota(
+        jnp.int32, (zc, 2 * tr), 0).astype(jnp.float32)
     win_init, win_prefetch, win_fetch = _window_reader(
         vol_ref, starts_ref, win_buf, sems, 1, ky, zw, False, resident)
     lo, hi = _read_range(starts_ref)
@@ -164,25 +198,11 @@ def _fwd_kernel(
         win_prefetch(jax.lax.rem(s + 1 - lo, 2), s + 1, hi)
 
         C, ry0, rz0, _ = _slab_segments(r, s, starts_ref)
-        wzA = _onehot(iota_z, rz0)  # (ZC, TR)
-        wzB = _onehot(iota_z, rz0 + 1.0)
-        ey0 = _onehot(iota_y, ry0)  # (KY, TR)
-        ey1 = _onehot(iota_y, ry0 + 1.0)
+        wz, ey2, eyr = _paired_onehots(iota_y2, iota_z2, ry0, rz0)
 
         win = _roll_window(win_fetch(slot, s)[0], starts_ref[0, s, 2], zc)
 
-        # One fused MXU contraction for both z-corners: win @ [wzA | wzB],
-        # then corner values per ray via paired one-hot row reductions —
-        # cheaper on the VPU than materializing C-weighted (KY, TR)
-        # matrices, and half the matmul dispatches.
-        tAB = _dot(win, jnp.concatenate([wzA, wzB], axis=1),
-                   (((1,), (0,)), ((), ())), precision)  # (KY, 2*TR)
-        ey0p = jnp.concatenate([ey0, ey0], axis=1)
-        ey1p = jnp.concatenate([ey1, ey1], axis=1)
-        v0 = jnp.sum(ey0p * tAB, axis=0, keepdims=True)  # [v00 | v01]
-        v1 = jnp.sum(ey1p * tAB, axis=0, keepdims=True)  # [v10 | v11]
-        v00, v01 = v0[:, :tr], v0[:, tr:]
-        v10, v11 = v1[:, :tr], v1[:, tr:]
+        v00, v01, v10, v11 = _corner_values(win, wz, ey2, eyr, precision)
         acc_ref[...] += (
             C[0][0] * v00 + C[1][0] * v10 + C[0][1] * v01 + C[1][1] * v11
         )
@@ -208,8 +228,10 @@ def _bwd_rays_kernel(
     """
     tr = rays_ref.shape[1]
     r = _ray_rows(rays_ref)
-    iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
-    iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
+    iota_y2 = jax.lax.broadcasted_iota(
+        jnp.int32, (ky, 2 * tr), 0).astype(jnp.float32)
+    iota_z2 = jax.lax.broadcasted_iota(
+        jnp.int32, (zc, 2 * tr), 0).astype(jnp.float32)
     win_init, win_prefetch, win_fetch = _window_reader(
         vol_ref, starts_ref, win_buf, sems, 1, ky, zw, False, resident)
     lo, hi = _read_range(starts_ref)
@@ -223,23 +245,12 @@ def _bwd_rays_kernel(
         win_prefetch(jax.lax.rem(s + 1 - lo, 2), s + 1, hi)
 
         C, ry0, rz0, aux = _slab_segments(r, s, starts_ref)
-        wzA = _onehot(iota_z, rz0)
-        wzB = _onehot(iota_z, rz0 + 1.0)
-        ey0 = _onehot(iota_y, ry0)
-        ey1 = _onehot(iota_y, ry0 + 1.0)
+        wz, ey2, eyr = _paired_onehots(iota_y2, iota_z2, ry0, rz0)
 
         win = _roll_window(win_fetch(slot, s)[0], starts_ref[0, s, 2], zc)
 
-        # Corner values V[y0+i, z0+j] per ray: fused contraction + paired
-        # one-hot reductions (see _fwd_kernel).
-        tAB = _dot(win, jnp.concatenate([wzA, wzB], axis=1),
-                   (((1,), (0,)), ((), ())), precision)  # (KY, 2*TR)
-        ey0p = jnp.concatenate([ey0, ey0], axis=1)
-        ey1p = jnp.concatenate([ey1, ey1], axis=1)
-        v0 = jnp.sum(ey0p * tAB, axis=0, keepdims=True)
-        v1 = jnp.sum(ey1p * tAB, axis=0, keepdims=True)
-        v00, v01 = v0[:, :tr], v0[:, tr:]
-        v10, v11 = v1[:, :tr], v1[:, tr:]
+        # Corner values V[y0+i, z0+j] per ray (see _corner_values).
+        v00, v01, v10, v11 = _corner_values(win, wz, ey2, eyr, precision)
 
         # Per-segment values via the (iy, iz) selectors.
         Vs = []
@@ -324,9 +335,12 @@ def _bwd_vol_kernel(
     del vol_ref
     tr = rays_ref.shape[1]
     r = _ray_rows(rays_ref)
-    iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
-    iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
+    iota_y2 = jax.lax.broadcasted_iota(
+        jnp.int32, (ky, 2 * tr), 0).astype(jnp.float32)
+    iota_z2 = jax.lax.broadcasted_iota(
+        jnp.int32, (zc, 2 * tr), 0).astype(jnp.float32)
     g = g_ref[0:1, :]
+    g2 = jnp.concatenate([g, g], axis=1)  # (1, 2TR)
     lo, hi = _read_range(starts_ref)
 
     def load_dma(slot, s):
@@ -358,18 +372,16 @@ def _bwd_vol_kernel(
             load_dma(jax.lax.rem(s + 1 - lo, 2), s + 1).start()
 
         C, ry0, rz0, _ = _slab_segments(r, s, starts_ref)
-        wzA = _onehot(iota_z, rz0)
-        wzB = _onehot(iota_z, rz0 + 1.0)
-        ey0 = _onehot(iota_y, ry0)
-        ey1 = _onehot(iota_y, ry0 + 1.0)
-        wyA = (C[0][0] * ey0 + C[1][0] * ey1) * g
-        wyB = (C[0][1] * ey0 + C[1][1] * ey1) * g
+        wz, ey2, eyr = _paired_onehots(iota_y2, iota_z2, ry0, rz0)
 
-        # wyA @ wzA^T + wyB @ wzB^T as one contraction over the doubled ray
-        # axis: [wyA | wyB] @ [wzA | wzB]^T.
-        dwin = _dot(jnp.concatenate([wyA, wyB], axis=1),
-                    jnp.concatenate([wzA, wzB], axis=1),
-                    (((1,), (1,)), ((), ())), precision)
+        # wyA @ wzA^T + wyB @ wzB^T as ONE contraction over the doubled ray
+        # axis: wy2 @ wz^T with wy2 = [wyA | wyB]. With ey2 = [ey0 | ey1]
+        # and eyr = [ey1 | ey0],
+        #   wy2 = (ca * ey2 + cb * eyr) * g2, ca = [C00 | C11], cb = [C10 | C01]
+        ca = jnp.concatenate([C[0][0], C[1][1]], axis=1)  # (1, 2TR)
+        cb = jnp.concatenate([C[1][0], C[0][1]], axis=1)
+        wy2 = (ca * ey2 + cb * eyr) * g2
+        dwin = _dot(wy2, wz, (((1,), (1,)), ((), ())), precision)
         if zc != zw:
             dwin = jnp.pad(dwin, ((0, 0), (0, zw - zc)))
             dwin = pltpu.roll(dwin, starts_ref[0, s, 2], axis=1)
