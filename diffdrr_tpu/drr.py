@@ -207,13 +207,14 @@ class DRR:
             return int(np.ceil(tile * pitch / float(sp) * 1.35
                                * self._fp_scale)) + 6
 
+        hpx, wpx = self.detector.height, self.detector.width
         cfgs = []
         for axis in range(3):
             other = [d for d in range(3) if d != axis]
             best = None
             # TR = tile^2 is the kernel block's lane dimension: Mosaic
             # requires it to be a multiple of 128, so tiles below 16 are out.
-            for tile in (16, 32):
+            for tile in (16, 32, 64):
                 TR = tile * tile
                 # +2 placement slack, +15 start-alignment loss, 16-aligned
                 # size (covers the bf16 (16, 128) HBM tiling).
@@ -225,13 +226,17 @@ class DRR:
                 zw = -(-(zc + 127) // 128) * 128
                 if ky > 256:
                     continue
+                # Detector-padding waste: the image pads to whole tiles, and
+                # every padded ray costs as much as a real one.
+                pad = (-(-hpx // tile) * tile) * (-(-wpx // tile) * tile)
+                pad = pad / float(max(1, hpx * wpx))
                 # Per-ray-per-plane cost model (MAC units): MXU contraction,
                 # tent/one-hot VPU builds, window DMA, per-step fixed cost.
                 mxu = n_mm * ky * zc * max(1.0, 128.0 / TR)
                 vpu = _COST_VPU_ELEM * (vpu_c * (ky + zc) + 2.0 * ky * zw / TR)
                 dma = _COST_DMA_BYTE * ky * zw * bytes_el / TR
                 fixed = _COST_FIXED_STEP / TR
-                cost = mxu + vpu + dma + fixed
+                cost = (mxu + vpu + dma + fixed) * pad
                 if best is None or cost < best[0]:
                     best = (cost, tile, ky, zw, zc)
             if best is None:

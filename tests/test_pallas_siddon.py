@@ -77,6 +77,17 @@ def test_nearest_zero_value_gradient_semantics(scene):
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_wide_tile_parity(scene):
+    """tile=64 (TR=4096 lanes) reproduces the oracle — the cost model may
+    pick wide tiles for large, finely-pitched detectors."""
+    drr, sv, tv, weights, ax = scene
+    ref = np.asarray(siddon_raycast(drr.density, sv, tv, weights))
+    got = np.asarray(siddon_pallas_raycast(
+        drr.density, sv, tv, weights, image_shape=(32, 32), axis=ax,
+        tile=64, ky=96, zw=256, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-3 * np.abs(ref).max())
+
+
 def test_drr_siddon_dispatch_fallbacks():
     """Non-default options route to the XLA renderer (CPU always does)."""
     subject = load_example_ct(shape=(32, 32, 16))
