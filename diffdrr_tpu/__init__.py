@@ -28,7 +28,7 @@ __all__ = [
 
 _SUBMODULES = (
     "data", "detector", "drr", "metrics", "nifti", "ops", "parallel",
-    "pose", "registration", "utils", "viz", "native",
+    "pose", "profiling", "registration", "utils", "viz", "native",
 )
 
 
