@@ -38,6 +38,7 @@ __all__ = [
     "optimize",
     "optimize_until",
     "optimize_multiscale",
+    "optimize_multistart",
 ]
 
 N_ANGULAR_COMPONENTS = {
@@ -151,6 +152,25 @@ def _sgd_momentum(
     return optax.GradientTransformation(init, update)
 
 
+def _make_optimizer(optimizer, lr_rotation, lr_translation, momentum=0.0,
+                    dampening=0.0):
+    """Split-LR optimizer matching the reference experiment sweep."""
+    if optimizer == "lbfgs":
+        return optax.lbfgs()
+    opt_cls = {
+        "adam": optax.adam,
+        "sgd": partial(_sgd_momentum, momentum=momentum,
+                       dampening=dampening),
+    }[optimizer]
+    return optax.multi_transform(
+        {
+            "rotation": opt_cls(lr_rotation),
+            "translation": opt_cls(lr_translation),
+        },
+        {"rotation": "rotation", "translation": "translation"},
+    )
+
+
 def make_registration_step(
     drr: DRR,
     target_img: jnp.ndarray,
@@ -192,21 +212,8 @@ def make_registration_step(
         score = jnp.mean(metric(img, target_img))
         return -score if maximize else score
 
-    if optimizer == "lbfgs":
-        tx = optax.lbfgs()
-    else:
-        opt_cls = {
-            "adam": optax.adam,
-            "sgd": partial(_sgd_momentum, momentum=momentum,
-                           dampening=dampening),
-        }[optimizer]
-        tx = optax.multi_transform(
-            {
-                "rotation": opt_cls(lr_rotation),
-                "translation": opt_cls(lr_translation),
-            },
-            {"rotation": "rotation", "translation": "translation"},
-        )
+    tx = _make_optimizer(optimizer, lr_rotation, lr_translation, momentum,
+                         dampening)
 
     def init_fn(rotation: jnp.ndarray, translation: jnp.ndarray):
         params = {
@@ -298,6 +305,84 @@ def optimize(
             if verbose:
                 print(f"iter {it:4d}  score {trace[-1]:.5f}")
     return params["rotation"], params["translation"], trace
+
+
+def optimize_multistart(
+    drr: DRR,
+    target_img: jnp.ndarray,
+    rotations: jnp.ndarray,
+    translations: jnp.ndarray,
+    parameterization: str,
+    convention: Optional[str] = None,
+    n_iters: int = 100,
+    metric: Optional[Callable] = None,
+    optimizer: str = "adam",
+    lr_rotation: float = 5e-2,
+    lr_translation: float = 1e0,
+    momentum: float = 0.0,
+    dampening: float = 0.0,
+    maximize: bool = True,
+    **render_kwargs,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run N random restarts as ONE batched optimization.
+
+    The reference's experiments loop over 100 random initializations one
+    registration at a time (experiments/registration.py:119-186). On TPU the
+    restarts batch: every iteration renders all N candidate poses in one
+    kernel dispatch, and because Adam/SGD updates are elementwise and the
+    loss is a SUM of per-restart scores, the batched run is exactly N
+    independent optimizations — same trajectories, one compile, one
+    dispatch chain. (``lbfgs`` is rejected: its line search would couple
+    the restarts through a shared step size.)
+
+    Args mirror :func:`optimize`, with ``rotations``/``translations``
+    carrying a leading restart axis (N, ...). Returns
+    ``(rotations, translations, final_scores, score_trace)`` where
+    ``final_scores`` is (N,) and ``score_trace`` is (n_iters, N); pick the
+    winner with ``jnp.argmax(final_scores)``.
+    """
+    if optimizer == "lbfgs":
+        raise ValueError(
+            "optimize_multistart supports elementwise optimizers "
+            "('adam', 'sgd'); lbfgs couples restarts via its line search"
+        )
+    if metric is None:
+        metric = MultiscaleNormalizedCrossCorrelation2d([None, 13], [0.5, 0.5])
+    tx = _make_optimizer(optimizer, lr_rotation, lr_translation, momentum,
+                         dampening)
+    params = {
+        "rotation": jnp.asarray(rotations),
+        "translation": jnp.asarray(translations),
+    }
+    opt_state = tx.init(params)
+
+    def loss_of(drr, tgt, params):
+        img = drr(
+            params["rotation"], params["translation"],
+            parameterization=parameterization, convention=convention,
+            **render_kwargs,
+        )
+        per = metric(img, jnp.broadcast_to(tgt, img.shape))  # (N,)
+        per = per if maximize else -per
+        # Sum: each restart's gradient depends only on its own pose.
+        return -jnp.sum(per), per
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run(drr, tgt, params, opt_state, n):
+        def body(carry, _):
+            params, opt_state = carry
+            (_, per), grads = jax.value_and_grad(
+                partial(loss_of, drr, tgt), has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), per
+
+        (params, _), trace = jax.lax.scan(
+            body, (params, opt_state), None, length=n)
+        return params, trace
+
+    params, trace = run(drr, target_img, params, opt_state, n_iters)
+    return (params["rotation"], params["translation"], trace[-1], trace)
 
 
 def optimize_until(
