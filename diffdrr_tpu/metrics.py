@@ -15,6 +15,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .pose import RigidTransform, so3_log_map
 
@@ -141,8 +142,11 @@ def gaussian_blur(img: jnp.ndarray, kernel_size: int, sigma: float) -> jnp.ndarr
     return x
 
 
-_SOBEL_GX = jnp.asarray([[1.0, 0.0, -1.0], [2.0, 0.0, -2.0], [1.0, 0.0, -1.0]])
-_SOBEL_GY = jnp.asarray([[1.0, 2.0, 1.0], [0.0, 0.0, 0.0], [-1.0, -2.0, -1.0]])
+# NumPy on purpose: a module-level jnp.asarray would initialize the default
+# device backend at import time (blocking forever when the TPU tunnel is
+# down, and defeating later jax_platforms overrides).
+_SOBEL_GX = np.asarray([[1.0, 0.0, -1.0], [2.0, 0.0, -2.0], [1.0, 0.0, -1.0]])
+_SOBEL_GY = np.asarray([[1.0, 2.0, 1.0], [0.0, 0.0, 0.0], [-1.0, -2.0, -1.0]])
 
 
 def sobel(img: jnp.ndarray, sigma: float = 1.0) -> jnp.ndarray:

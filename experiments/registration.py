@@ -50,8 +50,12 @@ from diffdrr_tpu.registration import make_registration_step
               type=click.Choice(["siddon", "trilinear", "joseph"]))
 @click.option("--outdir", default="experiments/results")
 @click.option("--seed", default=0)
+@click.option("--multistart/--no-multistart", default=False,
+              help="Run all inits as ONE batched optimization "
+                   "(optimize_multistart) instead of serial runs")
 def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
-         dampening, lr_rotation, lr_translation, renderer, outdir, seed):
+         dampening, lr_rotation, lr_translation, renderer, outdir, seed,
+         multistart):
     if cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -80,6 +84,36 @@ def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
     outdir = Path(outdir)
     outdir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
+
+    if multistart:
+        from diffdrr_tpu.registration import optimize_multistart
+
+        drots = rng.normal(0, 0.06, (n_runs, 3)).astype(np.float32)
+        dtranss = rng.normal(0, 12.0, (n_runs, 3)).astype(np.float32)
+        t0 = time.perf_counter()
+        rots, transs, scores, trace = optimize_multistart(
+            drr, target, rot_true + drots, trans_true + dtranss,
+            "euler_angles", "ZXY", n_iters=n_iters, metric=metric,
+            optimizer=optimizer, momentum=momentum, dampening=dampening,
+            lr_rotation=lr_rotation, lr_translation=lr_translation,
+        )
+        elapsed = time.perf_counter() - t0
+        poses = convert(rots, transs, parameterization="euler_angles",
+                        convention="ZXY")
+        _, _, double_geo = geo(pose_true, poses)
+        with open(outdir / "multistart.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["run", "final_score", "double_geodesic_mm"])
+            for i in range(n_runs):
+                w.writerow([i, float(scores[i]), float(double_geo[i])])
+        n_conv = int(np.sum(np.asarray(double_geo) < 1.0))
+        total_iters = n_runs * n_iters
+        click.echo(
+            f"multistart: {n_runs} restarts x {n_iters} iters in "
+            f"{elapsed:.1f} s ({total_iters / elapsed:.1f} pose-iters/s), "
+            f"best {float(jnp.max(scores)):.4f}, converged {n_conv}/{n_runs}"
+        )
+        return
 
     summary = []
     for run in range(n_runs):
