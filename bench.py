@@ -44,9 +44,17 @@ def _with_timeout(fn, seconds, errors, name):
 
     prev = signal.signal(signal.SIGALRM, _raise)
     signal.alarm(seconds)
+    unset = object()
+    out = unset
     try:
-        return fn()
+        try:
+            out = fn()
+        finally:
+            signal.alarm(0)  # cancel ASAP — before return/raise propagation
+        return out
     except _MetricTimeout:
+        if out is not unset:
+            return out  # alarm raced the completed call; keep the result
         errors[name] = f"timeout after {seconds}s (TPU tunnel stall?)"
         return None
     except Exception as e:  # pragma: no cover - diagnostic path
@@ -150,12 +158,19 @@ def main():
     done = threading.Event()
 
     def _reaper():
-        if done.wait(timeout=50 * 60):
+        # Past the global deadline no new metric STARTS, but an in-flight
+        # metric may still be inside its own (SIGALRM) budget — give the
+        # stragglers one full per-metric budget before force-exiting, and
+        # report whatever was already measured (incl. the headline) honestly.
+        if done.wait(timeout=55 * 60):
             return
         errors["__global__"] = "hard deadline: bench killed mid-metric"
+        head = extra.get("siddon_fwd_200", {})
         print(json.dumps({
             "metric": "siddon_render_rays_per_s_200x200_512ct",
-            "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+            "value": head.get("rays_per_s", 0.0),
+            "unit": "rays/s",
+            "vs_baseline": head.get("vs_baseline", 0.0),
             "extra": extra, "errors": errors}), flush=True)
         os._exit(2)
 
@@ -174,10 +189,11 @@ def main():
     drr_s = measure("construct_siddon", lambda: DRR(
         subject, sdd=1020.0, height=200, delx=2.0, renderer="siddon"), 300)
     if drr_s is None:
+        done.set()
         print(json.dumps({
             "metric": "siddon_render_rays_per_s_200x200_512ct",
             "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
-            "errors": errors}))
+            "extra": extra, "errors": errors}))
         return
 
     t = measure("siddon_fwd_200",

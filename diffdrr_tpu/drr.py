@@ -214,7 +214,11 @@ class DRR:
             best = None
             # TR = tile^2 is the kernel block's lane dimension: Mosaic
             # requires it to be a multiple of 128, so tiles below 16 are out.
-            for tile in (16, 32, 64):
+            # 64 is interpret-mode validated and available via pallas_tile=64,
+            # but stays out of auto-selection until measured on hardware
+            # (tools/sweep_tile.py) — CLAUDE.md: window sizing changes with
+            # care.
+            for tile in (16, 32):
                 TR = tile * tile
                 # +2 placement slack, +15 start-alignment loss, 16-aligned
                 # size (covers the bf16 (16, 128) HBM tiling).

@@ -337,9 +337,11 @@ def optimize_multistart(
 
     Args mirror :func:`optimize`, with ``rotations``/``translations``
     carrying a leading restart axis (N, ...). Returns
-    ``(rotations, translations, final_scores, score_trace)`` where
-    ``final_scores`` is (N,) and ``score_trace`` is (n_iters, N); pick the
-    winner with ``jnp.argmax(final_scores)``.
+    ``(rotations, translations, final_scores, score_trace)``: raw metric
+    values (never sign-flipped, matching :func:`optimize`'s trace), with
+    ``final_scores`` (N,) evaluated at the RETURNED poses and
+    ``score_trace`` (n_iters, N) holding each iteration's pre-update score.
+    Pick the winner with ``argmax`` (``maximize=True``) / ``argmin``.
     """
     if optimizer == "lbfgs":
         raise ValueError(
@@ -362,10 +364,10 @@ def optimize_multistart(
             parameterization=parameterization, convention=convention,
             **render_kwargs,
         )
-        per = metric(img, jnp.broadcast_to(tgt, img.shape))  # (N,)
-        per = per if maximize else -per
+        per = metric(img, jnp.broadcast_to(tgt, img.shape))  # (N,) raw
         # Sum: each restart's gradient depends only on its own pose.
-        return -jnp.sum(per), per
+        loss = -jnp.sum(per) if maximize else jnp.sum(per)
+        return loss, per
 
     @partial(jax.jit, static_argnames=("n",))
     def run(drr, tgt, params, opt_state, n):
@@ -379,10 +381,12 @@ def optimize_multistart(
 
         (params, _), trace = jax.lax.scan(
             body, (params, opt_state), None, length=n)
-        return params, trace
+        # Score the poses actually returned (the trace rows are pre-update).
+        _, final = loss_of(drr, tgt, params)
+        return params, trace, final
 
-    params, trace = run(drr, target_img, params, opt_state, n_iters)
-    return (params["rotation"], params["translation"], trace[-1], trace)
+    params, trace, final = run(drr, target_img, params, opt_state, n_iters)
+    return (params["rotation"], params["translation"], final, trace)
 
 
 def optimize_until(

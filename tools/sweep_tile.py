@@ -50,11 +50,11 @@ def per_iter(run, rot0, iters=6, reps=3):
 CONFIGS = {
     "joseph_t16": dict(renderer="joseph", pallas_tile=16),
     "joseph_t32": dict(renderer="joseph", pallas_tile=32),
+    "joseph_t64": dict(renderer="joseph", pallas_tile=64),
     "siddon_t16": dict(renderer="siddon", pallas_tile=16),
     "siddon_t32": dict(renderer="siddon", pallas_tile=32),
+    "siddon_t64": dict(renderer="siddon", pallas_tile=64),
 }
-
-BWD = {"bwd"}
 
 
 def run_one(name, bwd=False):

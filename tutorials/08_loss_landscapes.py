@@ -56,21 +56,24 @@ ANGLE_SPAN = 0.35  # radians, ~20 degrees
 MM_SPAN = 15.0
 
 
+# drr/target ride through jit as ARGUMENTS (pytrees), never closure
+# captures — a captured DRR embeds its density (and cached prepped volumes)
+# as HLO constants, inflating every compile on remote TPU backends.
+@jax.jit
+def score(drr, target, poses):
+    imgs = drr(poses[:, :3], poses[:, 3:],
+               parameterization="euler_angles", convention="ZXY",
+               n_points=150)
+    tgt = jnp.broadcast_to(target, imgs.shape)
+    return metric(tgt, imgs)
+
+
 def line_scores(param_idx):
     offs = jnp.linspace(-1.0, 1.0, N)
     span = ANGLE_SPAN if param_idx < 3 else MM_SPAN
     base = jnp.asarray(np.concatenate([rot_true, trans_true]), jnp.float32)
     poses = jnp.tile(base, (N, 1)).at[:, param_idx].add(offs * span)
-
-    @jax.jit
-    def score(poses):
-        imgs = drr(poses[:, :3], poses[:, 3:],
-                   parameterization="euler_angles", convention="ZXY",
-                   n_points=150)
-        tgt = jnp.broadcast_to(target, imgs.shape)
-        return metric(tgt, imgs)
-
-    return np.asarray(score(poses)).reshape(N)
+    return np.asarray(score(drr, target, poses)).reshape(N)
 
 
 names = ["alpha", "beta", "gamma", "x", "y (depth)", "z"]
