@@ -136,4 +136,32 @@ rot_u, trans_u, n_used, d_final = optimize_until(
 print(f"optimize_until: {int(n_used)} iters, final error {float(d_final):.2f} mm")
 assert float(d_final) < (3.0 if FULL else 8.0) or int(n_used) == (300 if FULL else 150)
 
+# ---------------------------------------------------------------------------
+# 6. Random restarts, batched. The reference's experiments loop over 100
+# random initializations one at a time; on TPU the restarts are a batch
+# axis — `optimize_multistart` renders all N candidate poses per iteration
+# in ONE dispatch, and (elementwise optimizer + summed per-restart loss)
+# is exactly N independent optimizations.
+# ---------------------------------------------------------------------------
+from diffdrr_tpu.registration import optimize_multistart
+
+key_offsets_r = jnp.array([[0.02, -0.02, 0.01],
+                           [-0.06, 0.05, -0.04],
+                           [0.10, 0.08, -0.09]])
+key_offsets_t = jnp.array([[5.0, -4.0, 3.0],
+                           [-12.0, 9.0, -8.0],
+                           [20.0, -15.0, 18.0]])
+rots_ms, transs_ms, scores_ms, _ = optimize_multistart(
+    drr, target, rot_true + key_offsets_r, trans_true + key_offsets_t,
+    "euler_angles", "ZXY", n_iters=60 if FULL else 40,
+    lr_rotation=2e-3, lr_translation=5e-1, n_points=200,
+)
+best = int(jnp.argmax(scores_ms))
+pose_best = convert(rots_ms[best:best + 1], transs_ms[best:best + 1],
+                    parameterization="euler_angles", convention="ZXY")
+d_best = float(geo(pose_true, pose_best)[2][0])
+print(f"multistart: scores {np.round(np.asarray(scores_ms), 3)}, "
+      f"winner {best} at {d_best:.1f} mm")
+assert float(scores_ms[best]) >= float(scores_ms.max()) - 1e-6
+
 print("tutorial 02: all checks passed")
