@@ -95,14 +95,27 @@ def _per_iter(run, rot0, iters=6, reps=3):
     return max(per, 1e-9)
 
 
-def main():
+def main(smoke=False):
+    """``smoke=True`` (CLI: ``--smoke``): tiny shapes on CPU — validates the
+    whole harness end-to-end (API drift in any metric would otherwise only
+    surface during the real TPU run). Numbers are meaningless in this mode;
+    the JSON carries ``"smoke": true``."""
     import jax
+
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     from functools import partial
 
     from diffdrr_tpu import DRR, load_example_ct
 
-    subject = load_example_ct(shape=(512, 512, 133))
+    shape = (96, 96, 48) if smoke else (512, 512, 133)
+    h_200, delx_200 = (48, 800.0 / 48) if smoke else (200, 2.0)
+    h_1000, delx_1000 = (96, 400.0 / 96) if smoke else (1000, 0.4)
+    IT = dict(iters=2, reps=1) if smoke else {}
+
+    subject = load_example_ct(shape=shape)
     trans = jnp.asarray([[0.0, 850.0, 0.0]], jnp.float32)
     rot0 = jnp.asarray([[0.01, np.pi / 2 + 0.02, -0.01]], jnp.float32)
 
@@ -185,9 +198,10 @@ def main():
     # --- 200^2 renderers (the common registration size) ---
     # DRR construction transfers the cached prepped volumes to the device, so
     # it also rides under a watchdog.
-    n200 = 200 * 200
+    n200 = h_200 * h_200
     drr_s = measure("construct_siddon", lambda: DRR(
-        subject, sdd=1020.0, height=200, delx=2.0, renderer="siddon"), 300)
+        subject, sdd=1020.0, height=h_200, delx=delx_200,
+        renderer="siddon"), 300)
     if drr_s is None:
         done.set()
         print(json.dumps({
@@ -197,7 +211,7 @@ def main():
         return
 
     t = measure("siddon_fwd_200",
-                lambda: _per_iter(render_scanner(drr_s, axis=2), rot0))
+                lambda: _per_iter(render_scanner(drr_s, axis=2), rot0, **IT))
     headline_rays = None
     if t is not None:
         extra["siddon_fwd_200"] = {"ms": round(t * 1e3, 3),
@@ -206,32 +220,34 @@ def main():
         headline_rays = n200 / t
 
     t = measure("siddon_fwd_posebwd_200",
-                lambda: _per_iter(fwdbwd_scanner(drr_s, axis=2), rot0))
+                lambda: _per_iter(fwdbwd_scanner(drr_s, axis=2), rot0, **IT))
     if t is not None:
         extra["siddon_fwd_posebwd_200"] = {"ms": round(t * 1e3, 3),
                                            "rays_per_s": round(n200 / t, 1)}
 
     drr_j = measure("construct_joseph", lambda: DRR(
-        subject, sdd=1020.0, height=200, delx=2.0, renderer="joseph"), 300)
+        subject, sdd=1020.0, height=h_200, delx=delx_200,
+        renderer="joseph"), 300)
     if drr_j is not None:
         t = measure("joseph_fwd_200",
-                    lambda: _per_iter(render_scanner(drr_j, axis=2), rot0))
+                    lambda: _per_iter(render_scanner(drr_j, axis=2), rot0, **IT))
         if t is not None:
             extra["joseph_fwd_200"] = {"ms": round(t * 1e3, 3),
                                        "rays_per_s": round(n200 / t, 1)}
 
         t = measure("joseph_fwd_posebwd_200",
-                    lambda: _per_iter(fwdbwd_scanner(drr_j, axis=2), rot0))
+                    lambda: _per_iter(fwdbwd_scanner(drr_j, axis=2), rot0, **IT))
         if t is not None:
             extra["joseph_fwd_posebwd_200"] = {
                 "ms": round(t * 1e3, 3), "rays_per_s": round(n200 / t, 1)}
 
     drr_t = measure("construct_trilinear", lambda: DRR(
-        subject, sdd=1020.0, height=200, delx=2.0, renderer="trilinear"), 300)
+        subject, sdd=1020.0, height=h_200, delx=delx_200,
+        renderer="trilinear"), 300)
     if drr_t is not None:
         t = measure("trilinear_kernel_fwd_200_n500",
                     lambda: _per_iter(
-                        render_scanner(drr_t, axis=2, n_points=500), rot0))
+                        render_scanner(drr_t, axis=2, n_points=500), rot0, **IT))
         if t is not None:
             extra["trilinear_kernel_fwd_200_n500"] = {
                 "ms": round(t * 1e3, 3), "rays_per_s": round(n200 / t, 1),
@@ -242,19 +258,20 @@ def main():
 
         t = measure("trilinear_fwd_posebwd_200_n500",
                     lambda: _per_iter(
-                        fwdbwd_scanner(drr_t, axis=2, n_points=500), rot0))
+                        fwdbwd_scanner(drr_t, axis=2, n_points=500), rot0, **IT))
         if t is not None:
             extra["trilinear_fwd_posebwd_200_n500"] = {
                 "ms": round(t * 1e3, 3), "rays_per_s": round(n200 / t, 1)}
 
     # --- 1000^2 (the reference needs patch_size=250 here; we don't) ---
-    n1000 = 1000 * 1000
+    n1000 = h_1000 * h_1000
     drr_L = measure("construct_siddon_1000", lambda: DRR(
-        subject, sdd=1020.0, height=1000, delx=0.4, renderer="siddon"), 300)
+        subject, sdd=1020.0, height=h_1000, delx=delx_1000,
+        renderer="siddon"), 300)
     if drr_L is not None:
         t = measure("siddon_fwd_1000",
                     lambda: _per_iter(render_scanner(drr_L, axis=2), rot0,
-                                      iters=4, reps=3))
+                                      **(IT or dict(iters=4, reps=3))))
         if t is not None:
             extra["siddon_fwd_1000"] = {"ms": round(t * 1e3, 3),
                                         "rays_per_s": round(n1000 / t, 1),
@@ -288,7 +305,7 @@ def main():
         def reg_run(rot_start, iters):
             return reg_run_inner(drr_s, target, rot_start, iters)
 
-        return _per_iter(reg_run, rot0 + 0.03, iters=6, reps=3)
+        return _per_iter(reg_run, rot0 + 0.03, **(IT or dict(iters=6, reps=3)))
 
     t = measure("registration_iters_per_s_200", reg_metric)
     if t is not None:
@@ -305,6 +322,8 @@ def main():
                         if headline_rays else 0.0),
         "extra": extra,
     }
+    if smoke:
+        out["smoke"] = True
     if errors:
         out["errors"] = errors
     done.set()
@@ -312,4 +331,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(smoke="--smoke" in sys.argv)

@@ -671,7 +671,9 @@ class DRR:
         opts.pop("resident", None)
         if self.renderer_name != "trilinear":
             opts.pop("n_points", None)
-        if self.renderer_name == "siddon":
+        if self.renderer_name in ("siddon", "trilinear"):
+            # Pallas march-axis hints; the XLA oracles sample along the ray
+            # (siddon sorts crossings, trilinear equispaces), axis-free.
             opts.pop("axis", None)
             opts.pop("step", None)
         if self.renderer_name == "joseph":

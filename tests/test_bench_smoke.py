@@ -1,0 +1,44 @@
+"""bench.py --smoke: the full benchmark harness on tiny CPU shapes.
+
+Guards the driver's end-of-round TPU bench against API drift — every metric
+builds and runs end-to-end, just at meaningless sizes.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+EXPECTED_METRICS = {
+    "siddon_fwd_200",
+    "siddon_fwd_posebwd_200",
+    "joseph_fwd_200",
+    "joseph_fwd_posebwd_200",
+    "trilinear_kernel_fwd_200_n500",
+    "trilinear_fwd_posebwd_200_n500",
+    "siddon_fwd_1000",
+    "registration_iters_per_s_200",
+}
+
+
+@pytest.mark.slow
+def test_bench_smoke_emits_full_metric_set():
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, str(repo / "bench.py"), "--smoke"],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["smoke"] is True
+    assert out["unit"] == "rays/s" and out["value"] > 0
+    assert "errors" not in out, out["errors"]
+    assert set(out["extra"]) == EXPECTED_METRICS
+    for name, m in out["extra"].items():
+        assert m.get("ms", m.get("ms_per_iter")) > 0, name
