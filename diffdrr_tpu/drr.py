@@ -581,6 +581,27 @@ class DRR:
 
             slab_guard = opts.pop("slab_guard", True)
             guarded = self.renderer_name == "siddon" and slab_guard
+            # Footprint guard: static windows are sized for a conservative
+            # worst-case magnification; a pose that exceeds them (volume
+            # pushed past the detector, strongly oblique rays with an
+            # explicit axis, or an aggressive pallas_fp_scale) would
+            # silently clip peripheral samples. The probe is exact, so it
+            # is ALWAYS safe to shrink windows via pallas_fp_scale — such
+            # poses fall back to the XLA oracles instead. Defaults on
+            # whenever windows were shrunk below the conservative bound.
+            fp_guard = opts.pop("footprint_guard", None)
+            if fp_guard is None:
+                fp_guard = self._fp_scale < 1.0
+
+            def probe_fits(ax):
+                from .ops.pallas.joseph import footprint_fits
+
+                tile, ky, zw, zc = self.pallas_cfg[ax]
+                return footprint_fits(
+                    source, target, weights, dims=self.density.shape,
+                    image_shape=(H, W), axis=ax, tile=tile, ky=ky, zw=zw,
+                    zc=zc, voxel_shift=self.voxel_shift,
+                )
 
             def xla_fallback(density, source, target, weights):
                 # Slab-validity escape for exact Siddon: a ray whose
@@ -589,6 +610,7 @@ class DRR:
                 # which the rank-2 slab decomposition cannot represent —
                 # its integral would be silently wrong. Render such poses
                 # on the sort-based XLA oracle instead (exact, slower).
+                # The footprint guard reuses this escape for all renderers.
                 #
                 # lax.cond sizes its allocation at the max over branches, so
                 # this branch must stay memory-bounded even when never taken:
@@ -598,13 +620,33 @@ class DRR:
                 xopts = {k: v for k, v in opts.items()
                          if k not in ("axis", "step", "n_points",
                                       "allow_oversample", "resident")}
+                if self.renderer_name == "trilinear":
+                    xopts["n_points"] = n_points
                 # Rematerialize: the oracle's sort/take_along_axis saves u32
                 # gather-index residuals whose trailing unit dim lane-pads
                 # x128 under TPU (8,128) tiling; stacked across lax.map
                 # chunks by the backward scan they reach tens of GB. With
                 # remat the backward recomputes each chunk instead.
+                if self.renderer_name == "joseph":
+                    def jfb(ax_s):
+                        st = (step if step is not None
+                              else self.joseph_steps[ax_s])
+                        return partial(_RENDERERS["joseph"], axis=ax_s,
+                                       step=st, **xopts)
+
+                    if axis is not None:
+                        base = jfb(axis)
+                    else:
+                        d = jnp.mean(target - source, axis=(0, 1))
+                        jidx = jnp.argmax(jnp.abs(d))
+
+                        def base(*args):
+                            return jax.lax.switch(
+                                jidx, [jfb(a) for a in range(3)], *args)
+                else:
+                    base = partial(_RENDERERS[self.renderer_name], **xopts)
                 fallback = jax.checkpoint(
-                    partial(_RENDERERS["siddon"], **xopts),
+                    base,
                     policy=jax.checkpoint_policies.nothing_saveable,
                 )
                 N = target.shape[1]
@@ -640,11 +682,16 @@ class DRR:
 
             if axis is not None:
                 fn = render_axis(axis)
-                if not guarded:
+                pred = None
+                if guarded:
+                    pred = worst_ratios()[axis] <= 1.0 + 1e-6
+                if fp_guard:
+                    fits = probe_fits(axis)
+                    pred = fits if pred is None else (pred & fits)
+                if pred is None:
                     return fn(density, source, target, weights)
                 return jax.lax.cond(
-                    worst_ratios()[axis] <= 1.0 + 1e-6,
-                    fn, xla_fallback, density, source, target, weights,
+                    pred, fn, xla_fallback, density, source, target, weights,
                 )
             # Pick the axis minimizing the worst-ray ratio (the safest choice
             # for the Siddon slab-validity bound and the Joseph quadrature
@@ -658,16 +705,27 @@ class DRR:
                     density, source, target, weights,
                 )
 
-            if not guarded:
+            pred = None
+            if guarded:
+                pred = ratios[idx] <= 1.0 + 1e-6
+            if fp_guard:
+                def probe_branch(a):
+                    return lambda _: probe_fits(a)
+
+                fits = jax.lax.switch(
+                    idx, [probe_branch(a) for a in range(3)], 0)
+                pred = fits if pred is None else (pred & fits)
+            if pred is None:
                 return pallas_switch(density, source, target, weights)
             return jax.lax.cond(
-                ratios[idx] <= 1.0 + 1e-6,
-                pallas_switch, xla_fallback, density, source, target, weights,
+                pred, pallas_switch, xla_fallback,
+                density, source, target, weights,
             )
 
         # Pallas-only hints are dropped on the XLA paths.
         opts.pop("allow_oversample", None)
         opts.pop("slab_guard", None)
+        opts.pop("footprint_guard", None)
         opts.pop("resident", None)
         if self.renderer_name != "trilinear":
             opts.pop("n_points", None)

@@ -698,7 +698,8 @@ def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
     return out.reshape(_NROWS, B * padded)
 
 
-def _compute_starts(rays_tiled, n_tiles, TR, n_planes, h, Y, Z, ky, zw, zc):
+def _compute_starts(rays_tiled, n_tiles, TR, n_planes, h, Y, Z, ky, zw, zc,
+                    with_fit=False, y0=None, z0=None):
     """Per (tile, plane) window placement + per-tile active plane ranges.
 
     Non-differentiable. Returns starts (n_tiles, n_planes, 4) int32, columns
@@ -711,6 +712,12 @@ def _compute_starts(rays_tiled, n_tiles, TR, n_planes, h, Y, Z, ky, zw, zc):
     [lo, hi) — the contiguous planes where at least one ray is inside the
     volume slab — as ``lo * 65536 + hi``; the kernels march only this
     interval (see ``_read_range``).
+
+    ``with_fit=True`` additionally returns a scalar bool: does EVERY
+    (tile, plane) footprint actually fit the planned (ky, zc) window?
+    Exact (max-reduces over the same intermediates), used by the dispatch
+    guard so undersized static windows fall back instead of silently
+    clipping peripheral samples.
     """
     rt = jax.lax.stop_gradient(rays_tiled).reshape(_NROWS, n_tiles, TR)
     big = jnp.float32(1e9)
@@ -733,12 +740,18 @@ def _compute_starts(rays_tiled, n_tiles, TR, n_planes, h, Y, Z, ky, zw, zc):
         ins = (alpha >= rt[_AMIN][..., None]) & (alpha <= rt[_AMAX][..., None])
         y_min_k = jnp.min(jnp.where(ins, y_t, big), axis=1)  # (tiles, chunk)
         z_min_k = jnp.min(jnp.where(ins, z_t, big), axis=1)
-        return None, (y_min_k, z_min_k)
+        if not with_fit:
+            return None, (y_min_k, z_min_k)
+        y_max_k = jnp.max(jnp.where(ins, y_t, -big), axis=1)
+        z_max_k = jnp.max(jnp.where(ins, z_t, -big), axis=1)
+        return None, (y_min_k, z_min_k, y_max_k, z_max_k)
 
-    _, (y_min, z_min) = jax.lax.scan(chunk_minima, None, ks_chunks)
-    # (n_chunks, tiles, chunk) -> (tiles, P)
-    y_min = jnp.moveaxis(y_min, 0, 1).reshape(n_tiles, -1)[:, :n_planes]
-    z_min = jnp.moveaxis(z_min, 0, 1).reshape(n_tiles, -1)[:, :n_planes]
+    _, mins = jax.lax.scan(chunk_minima, None, ks_chunks)
+
+    def flat(x):  # (n_chunks, tiles, chunk) -> (tiles, P)
+        return jnp.moveaxis(x, 0, 1).reshape(n_tiles, -1)[:, :n_planes]
+
+    y_min, z_min = flat(mins[0]), flat(mins[1])
 
     # Active plane interval per tile: planes where any ray is in-slab form a
     # contiguous interval (each ray's in-slab set is an alpha interval, and
@@ -756,7 +769,60 @@ def _compute_starts(rays_tiled, n_tiles, TR, n_planes, h, Y, Z, ky, zw, zc):
     zal = jnp.minimum((zdes // 128) * 128, max(0, Z - zw))
     zshift = zdes - zal
     aux = jnp.zeros_like(ystart).at[:, 0].set(lo * 65536 + hi)
-    return jnp.stack([ystart, zal, zshift, aux], axis=-1)
+    starts = jnp.stack([ystart, zal, zshift, aux], axis=-1)
+    if not with_fit:
+        return starts
+    # Fit check. Highest index a kernel can touch for a sample at position
+    # p: floor(p)+1 (joseph tent / bilinear upper corner); Siddon's segment
+    # endpoints extend up to 0.5 plane-widths beyond the plane-center
+    # positions reduced here, and its corner is round(p)+1 — both bounded
+    # by floor(p_max)+2. Indices beyond the ORIGINAL volume extent (y0/z0,
+    # pre-padding) read zero padding, which is correct ("outside the volume
+    # is air"), so the requirement clamps there. Inactive planes pass
+    # trivially.
+    y_max, z_max = flat(mins[2]), flat(mins[3])
+    y0 = Y if y0 is None else y0
+    z0 = Z if z0 is None else z0
+    req_y = jnp.minimum(jnp.floor(y_max) + 2, y0 - 1)
+    req_z = jnp.minimum(jnp.floor(z_max) + 2, z0 - 1)
+    fit_y = req_y <= (ystart + (ky - 1)).astype(jnp.float32)
+    fit_z = req_z <= (zal + zshift + (zc - 1)).astype(jnp.float32)
+    fits = jnp.all(jnp.where(active, fit_y & fit_z, True))
+    return starts, fits
+
+
+def footprint_fits(
+    source, target, weights, *, dims, image_shape, axis, tile, ky, zw, zc,
+    voxel_shift=0.5, step=1.0, n_steps=None, eps=1e-8,
+):
+    """Exact runtime probe: do all (tile, plane) footprints fit the planned
+    (ky, zc) windows for this pose?
+
+    Returns a scalar bool (stop-gradient, jit-safe). The static windows are
+    sized for a conservative worst-case magnification; poses that exceed it
+    (volume pushed past the detector, strongly oblique rays with an explicit
+    march axis, or an aggressive ``pallas_fp_scale``) would silently clip
+    peripheral samples — the DRR dispatch uses this probe to fall back to
+    the XLA renderers instead. Cost: one ray packing + one plane scan
+    (~the window-start precompute, well under a millisecond at 200^2).
+    """
+    H, W = image_shape
+    h = float(step)
+    if n_steps is None:
+        n_steps = int(-(-dims[axis] // h))
+    perm3 = (axis,) + tuple(d for d in range(3) if d != axis)
+    rays_tiled = _prep_rays(source, target, weights, perm3, dims, H, W,
+                            tile, voxel_shift, h, eps)
+    B = target.shape[0]
+    _, n_tiles_img, _ = _plan_tiles_cached(H, W, tile)
+    Y = max(dims[perm3[1]], ky)  # _prep_vol's padded extents
+    Z = max(dims[perm3[2]], zw)
+    _, fits = _compute_starts(
+        rays_tiled, B * n_tiles_img, tile * tile, int(n_steps), h, Y, Z,
+        ky, zw, zc, with_fit=True,
+        y0=dims[perm3[1]], z0=dims[perm3[2]],
+    )
+    return fits
 
 
 # =============================================================================

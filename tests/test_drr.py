@@ -214,3 +214,89 @@ def test_siddon_slab_guard(subject, pose_args, monkeypatch):
     # slab_guard=False opts out: the Pallas branch runs unconditionally.
     unguarded = _render(wide, pose_args, slab_guard=False)
     assert np.allclose(np.asarray(unguarded), POISON)
+
+
+def test_footprint_guard(subject, pose_args, monkeypatch):
+    """Poses whose tile footprints exceed the planned windows fall back to
+    the XLA oracle instead of silently clipping peripheral samples.
+
+    With pallas_fp_scale=0.35 and a magnifying pose (volume close to the
+    detector) the interpret-mode kernel integral is ~42% wrong vs the
+    oracle — the guard (auto-enabled when fp_scale < 1) must take the
+    fallback branch there and the kernel branch for a modest pose.
+    """
+    import diffdrr_tpu.ops.pallas.siddon as psid
+    import diffdrr_tpu.drr as drr_mod
+    from diffdrr_tpu import load_example_ct
+
+    POISON = 54321.0
+
+    def poison(volume, source, target, weights=None, **kw):
+        B, N = target.shape[0], target.shape[1]
+        return jnp.full((B, 1, N), POISON, jnp.float32)
+
+    monkeypatch.setattr(psid, "siddon_pallas_raycast", poison)
+    monkeypatch.setattr(
+        drr_mod.DRR, "_pallas_capable",
+        lambda self, m, o: (self.renderer_name == "siddon"
+                            and self.pallas_ok
+                            and not o.get("force_xla", False)),
+    )
+
+    big = load_example_ct(shape=(128, 128, 64))
+    drr = DRR(big, sdd=800.0, height=16, delx=6.0, pallas_fp_scale=0.35)
+    rot = jnp.array([[0.0, np.pi / 2, 0.0]], jnp.float32)
+
+    # Modest magnification: footprint fits -> Pallas branch.
+    near = drr(rot, jnp.array([[0.0, 250.0, 0.0]]),
+               parameterization="euler_angles", convention="ZXY")
+    assert np.allclose(np.asarray(near), POISON)
+
+    # Magnifying pose: footprint exceeds the shrunken windows -> oracle.
+    trans = jnp.array([[0.0, 600.0, 0.0]])
+    guarded = drr(rot, trans, parameterization="euler_angles",
+                  convention="ZXY")
+    oracle = drr(rot, trans, parameterization="euler_angles",
+                 convention="ZXY", force_xla=True)
+    np.testing.assert_allclose(np.asarray(guarded), np.asarray(oracle),
+                               atol=1e-5)
+
+    # Explicit opt-out runs the kernel branch unconditionally.
+    unguarded = drr(rot, trans, parameterization="euler_angles",
+                    convention="ZXY", footprint_guard=False)
+    assert np.allclose(np.asarray(unguarded), POISON)
+
+
+def test_footprint_guard_joseph_fallback(subject, pose_args, monkeypatch):
+    """The footprint guard's fallback uses the matching oracle per renderer
+    (joseph fallback = XLA joseph, axis-switched)."""
+    import diffdrr_tpu.ops.pallas.joseph as pjos
+    import diffdrr_tpu.drr as drr_mod
+    from diffdrr_tpu import load_example_ct
+
+    POISON = 99999.0
+
+    def poison(volume, source, target, weights=None, **kw):
+        B, N = target.shape[0], target.shape[1]
+        return jnp.full((B, 1, N), POISON, jnp.float32)
+
+    monkeypatch.setattr(pjos, "joseph_pallas_raycast", poison)
+    monkeypatch.setattr(
+        drr_mod.DRR, "_pallas_capable",
+        lambda self, m, o: (self.renderer_name == "joseph"
+                            and self.pallas_ok
+                            and not o.get("force_xla", False)),
+    )
+
+    big = load_example_ct(shape=(128, 128, 64))
+    drr = DRR(big, sdd=800.0, height=16, delx=6.0, renderer="joseph",
+              pallas_fp_scale=0.35)
+    rot = jnp.array([[0.0, np.pi / 2, 0.0]], jnp.float32)
+    trans = jnp.array([[0.0, 600.0, 0.0]])
+    guarded = drr(rot, trans, parameterization="euler_angles",
+                  convention="ZXY")
+    oracle = drr(rot, trans, parameterization="euler_angles",
+                 convention="ZXY", force_xla=True)
+    np.testing.assert_allclose(np.asarray(guarded), np.asarray(oracle),
+                               atol=1e-4 * float(jnp.abs(oracle).max()))
+    assert not np.allclose(np.asarray(guarded), POISON)
