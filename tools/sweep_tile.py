@@ -54,6 +54,23 @@ CONFIGS = {
     "siddon_t16": dict(renderer="siddon", pallas_tile=16),
     "siddon_t32": dict(renderer="siddon", pallas_tile=32),
     "siddon_t64": dict(renderer="siddon", pallas_tile=64),
+    # Shrunken windows (runtime footprint guard keeps these safe): at the
+    # bench geometry (volume at 850/1020 of sdd) the true magnification is
+    # ~1.0 vs the planner's worst-case 1.35 bound.
+    "joseph_t16_fp08": dict(renderer="joseph", pallas_tile=16,
+                            pallas_fp_scale=0.8),
+    "joseph_t32_fp08": dict(renderer="joseph", pallas_tile=32,
+                            pallas_fp_scale=0.8),
+    "siddon_t16_fp08": dict(renderer="siddon", pallas_tile=16,
+                            pallas_fp_scale=0.8),
+    "siddon_t32_fp08": dict(renderer="siddon", pallas_tile=32,
+                            pallas_fp_scale=0.8),
+    "joseph_t16_fp06": dict(renderer="joseph", pallas_tile=16,
+                            pallas_fp_scale=0.6),
+    "siddon_t16_fp06": dict(renderer="siddon", pallas_tile=16,
+                            pallas_fp_scale=0.6),
+    "siddon_t32_fp06": dict(renderer="siddon", pallas_tile=32,
+                            pallas_fp_scale=0.6),
 }
 
 
