@@ -45,10 +45,17 @@ def initialize_distributed(
     them explicitly for other setups. A no-op when the runtime is already
     initialized or when running single-process with no coordinator.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     if coordinator_address is None and num_processes in (None, 1):
         return  # single process: nothing to wire
+    # NOTE: nothing here may touch the XLA backend before initialize() —
+    # even jax.process_count()/jax.devices() would initialize it and make
+    # distributed startup illegal.
+    try:
+        is_init = jax.distributed.is_initialized()
+    except AttributeError:  # older jax
+        is_init = getattr(jax.distributed.global_state, "client", None) is not None
+    if is_init:
+        return  # already wired by the launcher
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
