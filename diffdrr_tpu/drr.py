@@ -406,6 +406,51 @@ class DRR:
         best = int(np.argmin(ratios))
         return best, float(ratios[best])
 
+    def diagnose_pose(self, pose: RigidTransform) -> dict:
+        """Explain how the Pallas dispatch would treat a pose. Host helper.
+
+        The runtime guards route invalid-for-the-kernel poses to XLA
+        fallbacks inside ``lax.cond`` — invisible from outside jit except
+        as a performance cliff. This reports, per march axis: the
+        worst-ray slab ratio (exact-Siddon validity, > 1 means fallback
+        when guarded) and whether the pose's tile footprints fit the
+        planned windows (``pallas_fp_scale`` headroom; False means the
+        footprint guard would fall back).
+        """
+        from .ops.pallas.joseph import footprint_fits
+
+        source, target = self.detector(pose, None)
+        sv = self.affine_inverse(source)
+        tv = self.affine_inverse(target)
+        d = np.abs(np.asarray(tv - sv))
+        H, W = self.detector.height, self.detector.width
+        weights = jnp.ones((target.shape[0], 1, target.shape[1]), jnp.float32)
+        ratios, fits = [], []
+        for axis in range(3):
+            other = [a for a in range(3) if a != axis]
+            ratios.append(float(np.max(
+                np.maximum(d[..., other[0]], d[..., other[1]])
+                / np.maximum(d[..., axis], 1e-12))))
+            cfg = self.pallas_cfg[axis]
+            if cfg is None:
+                fits.append(False)
+                continue
+            tile, ky, zw, zc = cfg
+            fits.append(bool(footprint_fits(
+                sv, tv, weights, dims=self.density.shape,
+                image_shape=(H, W), axis=axis, tile=tile, ky=ky, zw=zw,
+                zc=zc, voxel_shift=self.voxel_shift,
+            )))
+        best = int(np.argmin(ratios))
+        return {
+            "best_axis": best,
+            "worst_ratio": ratios,
+            "footprint_fits": fits,
+            "pallas_ok": self.pallas_ok,
+            "slab_valid": ratios[best] <= 1.0 + 1e-6,
+            "fp_guard_active": self._fp_scale < 1.0,
+        }
+
     # ----------------------------------------------------------------- forward
     def __call__(self, *args, **kwargs):
         return self.forward(*args, **kwargs)

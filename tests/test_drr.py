@@ -300,3 +300,23 @@ def test_footprint_guard_joseph_fallback(subject, pose_args, monkeypatch):
     np.testing.assert_allclose(np.asarray(guarded), np.asarray(oracle),
                                atol=1e-4 * float(jnp.abs(oracle).max()))
     assert not np.allclose(np.asarray(guarded), POISON)
+
+
+def test_diagnose_pose(subject, pose_args):
+    """diagnose_pose surfaces the guard decisions (slab ratio, window fit)."""
+    from diffdrr_tpu import load_example_ct, convert
+
+    big = load_example_ct(shape=(128, 128, 64))
+    drr = DRR(big, sdd=800.0, height=16, delx=6.0, pallas_fp_scale=0.35)
+    rot = jnp.array([[0.0, np.pi / 2, 0.0]], jnp.float32)
+
+    far = convert(rot, jnp.array([[0.0, 250.0, 0.0]]),
+                  parameterization="euler_angles", convention="ZXY")
+    near = convert(rot, jnp.array([[0.0, 600.0, 0.0]]),
+                   parameterization="euler_angles", convention="ZXY")
+    d_far = drr.diagnose_pose(far)
+    d_near = drr.diagnose_pose(near)
+    assert d_far["fp_guard_active"] and d_near["fp_guard_active"]
+    assert d_far["footprint_fits"][2] is True
+    assert d_near["footprint_fits"][2] is False
+    assert d_far["slab_valid"]
