@@ -98,3 +98,53 @@ def test_drr_siddon_dispatch_fallbacks():
     img_max = drr(rot, trans, parameterization="euler_angles", convention="ZXY",
                   reducefn="max")
     assert (np.asarray(img_max) <= np.asarray(img) + 1e-5).all()
+
+
+def test_footprint_probe_soundness_fuzz():
+    """Soundness of the fit probe: whenever it says a pose fits the planned
+    windows, the interpret-mode kernel must match the oracle. (Completeness
+    — flagging every non-fitting pose — is exercised in test_drr.py.)"""
+    from diffdrr_tpu.ops.pallas.joseph import footprint_fits
+
+    subject = load_example_ct(shape=(64, 64, 32))
+    # Small windows on purpose so some random poses genuinely don't fit.
+    drr = DRR(subject, sdd=500.0, height=16, delx=5.0, pallas_fp_scale=0.5)
+    rng = np.random.default_rng(7)
+    n_fit = n_nofit = 0
+    for _ in range(10):
+        rot = jnp.asarray(rng.normal([0.0, np.pi / 2, 0.0], 0.25)[None],
+                          jnp.float32)
+        trans = jnp.asarray(rng.normal([0.0, 280.0, 0.0], [20, 90, 20])[None],
+                            jnp.float32)
+        pose = convert(rot, trans, parameterization="euler_angles",
+                       convention="ZXY")
+        source, target = drr.detector(pose, None)
+        sv, tv = drr.affine_inverse(source), drr.affine_inverse(target)
+        w = jnp.linalg.norm(target - source, axis=-1)[:, None, :]
+        ax = choose_march_axis(np.asarray(sv), np.asarray(tv))
+        cfg = drr.pallas_cfg[ax]
+        if cfg is None:
+            continue
+        # Exact parity additionally requires slab validity (the dispatch's
+        # OTHER guard): rays with transverse/axial slope > 1 integrate
+        # approximately under the rank-2 slab decomposition.
+        d = np.abs(np.asarray(tv - sv))
+        other = [a for a in range(3) if a != ax]
+        ratio = np.max(np.maximum(d[..., other[0]], d[..., other[1]])
+                       / np.maximum(d[..., ax], 1e-12))
+        if ratio > 1.0:
+            continue
+        tile, ky, zw, zc = cfg
+        fits = bool(footprint_fits(
+            sv, tv, w, dims=drr.density.shape, image_shape=(16, 16),
+            axis=ax, tile=tile, ky=ky, zw=zw, zc=zc))
+        if not fits:
+            n_nofit += 1
+            continue
+        n_fit += 1
+        ref = np.asarray(siddon_raycast(drr.density, sv, tv, w))
+        got = np.asarray(siddon_pallas_raycast(
+            drr.density, sv, tv, w, image_shape=(16, 16), axis=ax,
+            tile=tile, ky=ky, zw=zw, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-3 * np.abs(ref).max())
+    assert n_fit >= 3  # the fuzz must actually exercise the parity claim
