@@ -320,3 +320,36 @@ def test_diagnose_pose(subject, pose_args):
     assert d_far["footprint_fits"][2] is True
     assert d_near["footprint_fits"][2] is False
     assert d_far["slab_valid"]
+
+
+def test_footprint_guard_channels_fallback(subject, pose_args, monkeypatch):
+    """Footprint-guard fallback composes with per-structure channels: both
+    cond branches produce (B, n_ch, H, W), fallback matches the oracle."""
+    import diffdrr_tpu.ops.pallas.joseph as pjos
+    import diffdrr_tpu.drr as drr_mod
+    from diffdrr_tpu import load_example_ct
+
+    def poison(volume, source, target, weights=None, n_channels=None, **kw):
+        B, N = target.shape[0], target.shape[1]
+        return jnp.full((B, n_channels or 1, N), 7.0, jnp.float32)
+
+    monkeypatch.setattr(pjos, "joseph_pallas_raycast", poison)
+    monkeypatch.setattr(
+        drr_mod.DRR, "_pallas_capable",
+        lambda self, m, o: (self.renderer_name == "joseph"
+                            and self.pallas_ok
+                            and not o.get("force_xla", False)),
+    )
+
+    big = load_example_ct(shape=(128, 128, 64))
+    drr = DRR(big, sdd=800.0, height=16, delx=6.0, renderer="joseph",
+              pallas_fp_scale=0.35)
+    rot = jnp.array([[0.0, np.pi / 2, 0.0]], jnp.float32)
+    trans = jnp.array([[0.0, 600.0, 0.0]])  # exceeds shrunken windows
+    guarded = drr(rot, trans, parameterization="euler_angles",
+                  convention="ZXY", mask_to_channels=True)
+    oracle = drr(rot, trans, parameterization="euler_angles",
+                 convention="ZXY", mask_to_channels=True, force_xla=True)
+    assert guarded.shape == oracle.shape and guarded.shape[1] > 1
+    np.testing.assert_allclose(np.asarray(guarded), np.asarray(oracle),
+                               atol=1e-4 * float(jnp.abs(oracle).max()))
