@@ -1,0 +1,142 @@
+"""Fit the Pallas tile-selection cost-model constants from sweep data.
+
+Reads ``tools/sweep_tile.py`` output lines (``name: X ms``) and solves a
+non-negative least-squares fit of the planner's per-ray-per-plane cost model
+(``DRR._plan_pallas``, diffdrr_tpu/drr.py) against the measured times:
+
+    t / pad  ~=  s*mxu_elems + A*vpu_elems + B*dma_bytes + C*fixed
+
+where (A, B, C) = s * (_COST_VPU_ELEM, _COST_DMA_BYTE, _COST_FIXED_STEP).
+Prints the fitted constants, predicted-vs-measured per config, and the tile
+the planner would auto-select per renderer under the new constants.
+
+Usage:
+    python tools/fit_cost_model.py /tmp/sweep_fused.log
+    python tools/fit_cost_model.py --demo   # fit against pasted numbers
+"""
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# Run the geometry planning on CPU — no TPU needed.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from diffdrr_tpu import DRR, load_example_ct  # noqa: E402
+
+BENCH_GEOM = dict(sdd=1020.0, height=200, delx=2.0)
+MARCH_AXIS = 2  # the sweep renders with axis=2
+
+
+def model_terms(drr, axis=MARCH_AXIS):
+    """Recompute the planner's cost-model components for drr's chosen cfg."""
+    tile, ky, zw, zc = drr.pallas_cfg[axis]
+    TR = tile * tile
+    hpx, wpx = drr.detector.height, drr.detector.width
+    pad = (-(-hpx // tile) * tile) * (-(-wpx // tile) * tile)
+    pad = pad / float(max(1, hpx * wpx))
+    bytes_el = 2 if drr.pallas_storage == "bf16" else 4
+    n_mm = 2 if drr.renderer_name == "siddon" else 1
+    vpu_c = 5.0 if drr.renderer_name == "siddon" else 3.0
+    mxu = n_mm * ky * zc * max(1.0, 128.0 / TR)
+    vpu = vpu_c * (ky + zc) + 2.0 * ky * zw / TR
+    dma = ky * zw * bytes_el / TR
+    fixed = 1.0 / TR
+    return np.array([mxu, vpu, dma, fixed]), pad, (tile, ky, zw, zc)
+
+
+def parse_sweep(path):
+    """-> {config_name: ms} from 'name: 12.3 ms' lines (last wins)."""
+    out = {}
+    pat = re.compile(r"^(\w+):\s+([\d.]+)\s*ms")
+    with open(path) as f:
+        for line in f:
+            m = pat.match(line.strip())
+            if m:
+                out[m.group(1)] = float(m.group(2))
+    return out
+
+
+def config_kwargs(name):
+    """Sweep config name -> DRR kwargs (mirrors tools/sweep_tile.py)."""
+    m = re.match(r"(joseph|siddon)_t(\d+)(?:_fp(\d+))?$", name)
+    if not m:
+        return None
+    kw = dict(renderer=m.group(1), pallas_tile=int(m.group(2)))
+    if m.group(3):
+        kw["pallas_fp_scale"] = int(m.group(3)) / 10.0
+    return kw
+
+
+def nnls(A, b):
+    """Tiny projected-gradient NNLS (avoids a scipy dependency)."""
+    x = np.maximum(np.linalg.lstsq(A, b, rcond=None)[0], 0.0)
+    L = np.linalg.norm(A.T @ A, 2)
+    for _ in range(20000):
+        x = np.maximum(x - (A.T @ (A @ x - b)) / L, 0.0)
+    return x
+
+
+def main(argv):
+    measured = {}
+    if argv and argv[0] != "--demo":
+        measured = parse_sweep(argv[0])
+    measured = {k: v for k, v in measured.items()
+                if config_kwargs(k) is not None}
+    if len(measured) < 4:
+        print(f"need >=4 measured configs, have {len(measured)}: "
+              f"{sorted(measured)}", file=sys.stderr)
+        return 1
+
+    subject = load_example_ct(shape=(512, 512, 133))
+    rows, times, names, cfgs = [], [], [], {}
+    for name, ms in sorted(measured.items()):
+        drr = DRR(subject, **BENCH_GEOM, **config_kwargs(name))
+        terms, pad, cfg = model_terms(drr)
+        rows.append(terms)
+        times.append(ms / pad)
+        names.append(name)
+        cfgs[name] = cfg
+    A, b = np.asarray(rows), np.asarray(times)
+    # Column scaling for conditioning.
+    scale = A.max(axis=0)
+    x = nnls(A / scale, b) / scale
+    s = max(x[0], 1e-12)
+    const = dict(_COST_VPU_ELEM=x[1] / s, _COST_DMA_BYTE=x[2] / s,
+                 _COST_FIXED_STEP=x[3] / s)
+    print("fitted constants (relative to 1.0/MXU-elem):")
+    for k, v in const.items():
+        print(f"  {k} = {v:.1f}")
+    print("\nconfig                cfg(t,ky,zw,zc)        measured   predicted")
+    pred = A @ x
+    for i, name in enumerate(names):
+        drr_pad = b[i] / times[i] if times[i] else 1.0
+        print(f"{name:21s} {str(cfgs[name]):22s} {measured[name]:8.3f}ms "
+              f"{pred[i] * (measured[name] / b[i]):9.3f}ms")
+    # Which tile would the planner now pick per renderer?
+    print("\nauto-selection under fitted constants (cost per tile):")
+    for renderer in ("joseph", "siddon"):
+        costs = {}
+        for tile in (16, 32, 64):
+            name = f"{renderer}_t{tile}"
+            try:
+                drr = DRR(subject, **BENCH_GEOM,
+                          renderer=renderer, pallas_tile=tile)
+            except Exception as e:  # window too big etc.
+                print(f"  {name}: plan failed ({e})")
+                continue
+            terms, pad, _ = model_terms(drr)
+            costs[tile] = float(terms @ x) * pad
+        best = min(costs, key=costs.get)
+        pretty = ", ".join(f"t{t}={c:.3g}" for t, c in sorted(costs.items()))
+        print(f"  {renderer}: picks t{best}   ({pretty})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
