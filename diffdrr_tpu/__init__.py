@@ -27,8 +27,8 @@ __all__ = [
 
 
 _SUBMODULES = (
-    "data", "detector", "drr", "metrics", "nifti", "ops", "parallel",
-    "pose", "profiling", "registration", "utils", "viz", "native",
+    "checkpoint", "data", "detector", "drr", "metrics", "nifti", "ops",
+    "parallel", "pose", "profiling", "registration", "utils", "viz", "native",
 )
 
 

@@ -36,7 +36,12 @@ from diffdrr_tpu import DRR, load_example_ct
               help="Shard views/rays across all devices")
 @click.option("--renderer", default="trilinear",
               type=click.Choice(["trilinear", "joseph"]))
-def main(cpu, n_views, n_iters, height, volume_size, lr, mesh, renderer):
+@click.option("--ckpt-dir", default=None,
+              help="Checkpoint directory; resumes from the latest step if "
+                   "one exists (diffdrr_tpu.checkpoint)")
+@click.option("--ckpt-every", default=25, help="Checkpoint interval (steps)")
+def main(cpu, n_views, n_iters, height, volume_size, lr, mesh, renderer,
+         ckpt_dir, ckpt_every):
     if cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -94,17 +99,39 @@ def main(cpu, n_views, n_iters, height, volume_size, lr, mesh, renderer):
         def step(density, opt_state):
             return step_inner(drr, measured, density, opt_state)
 
+    mgr = None
+    start = 0
+    if ckpt_dir is not None:
+        from diffdrr_tpu.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir, max_to_keep=2)
+        resumed = mgr.latest(like={"density": density, "opt_state": opt_state})
+        if resumed is not None:
+            start, state = resumed
+            density, opt_state = state["density"], state["opt_state"]
+            click.echo(f"resumed from step {start} in {ckpt_dir}")
+
     t0 = time.perf_counter()
-    for it in range(n_iters):
+    loss = float("nan")
+    for it in range(start, n_iters):
         density, opt_state, loss = step(density, opt_state)
         if it % 10 == 0 or it == n_iters - 1:
             click.echo(f"iter {it:4d}  mse {float(loss):.6f}")
+        if mgr is not None:
+            mgr.maybe_save(
+                it + 1, {"density": density, "opt_state": opt_state},
+                every=ckpt_every,
+            )
     elapsed = time.perf_counter() - t0
+    if mgr is not None:
+        mgr.wait()
+        mgr.close()
 
     err = float(jnp.sqrt(jnp.mean((density - drr.density) ** 2)))
     base = float(jnp.sqrt(jnp.mean(drr.density**2)))
+    ran = max(1, n_iters - start)
     click.echo(
-        f"done in {elapsed:.1f} s ({n_iters / elapsed:.2f} it/s); "
+        f"done in {elapsed:.1f} s ({ran / elapsed:.2f} it/s); "
         f"voxel RMSE {err:.4f} (volume RMS {base:.4f})"
     )
 
