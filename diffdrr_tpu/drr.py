@@ -284,7 +284,9 @@ class DRR:
                 perm3 = (axis,) + tuple(d for d in range(3) if d != axis)
                 v = np.transpose(dens, perm3)
                 ypad = max(0, ky - v.shape[1])
-                zpad = max(0, zw - v.shape[2])
+                # Mirrors _prep_vol: padded Z is >= zw AND 128-aligned (the
+                # z-start clamp to Z - zw must stay a multiple of 128).
+                zpad = max(zw, -(-v.shape[2] // 128) * 128) - v.shape[2]
                 v = np.pad(v, ((0, 1), (0, ypad), (0, zpad)))
                 pvols.append(jnp.asarray(v))
             self._pvols = tuple(pvols)
@@ -420,6 +422,11 @@ class DRR:
         from .ops.pallas.joseph import footprint_fits
 
         source, target = self.detector(pose, None)
+        if self.detector.n_subsample is not None:
+            # The kernels (and their guards) always see the FULL detector
+            # plane; probing the subsampled rays would tile garbage (the
+            # full-frame tile permutation gathers past the subsampled count).
+            target = self.detector.full_plane_target(pose, None)
         sv = self.affine_inverse(source)
         tv = self.affine_inverse(target)
         d = np.abs(np.asarray(tv - sv))
@@ -449,6 +456,11 @@ class DRR:
             "pallas_ok": self.pallas_ok,
             "slab_valid": ratios[best] <= 1.0 + 1e-6,
             "fp_guard_active": self._fp_scale < 1.0,
+            # Pose-independent cone-beam bound: tan of the widest angle any
+            # detector ray makes with the principal ray. > 1 means NO pose
+            # can satisfy the exact-Siddon slab-validity guard (the geometry
+            # itself is too wide) — the kernel path will always fall back.
+            "cone_tan": self.cone_tan,
         }
 
     # ----------------------------------------------------------------- forward
@@ -482,16 +494,28 @@ class DRR:
         # kernels are faster than a sparse gather render) and gather the
         # sampled rays; gradients scatter back through the gather.
         sparse_idx = None
+        # Capability must be judged on the SAME option set render() will see:
+        # constructor renderer_kwargs merged with per-call kwargs. Judging
+        # per-call kwargs alone would route a disqualified config (e.g.
+        # mode="bilinear" set at construction) through the full-frame swap
+        # and then into an unchunked XLA render of every ray.
         if (self.detector.n_subsample is not None
-                and self._pallas_capable(mask_to_channels, kwargs)):
+                and self._pallas_capable(
+                    mask_to_channels, {**self.renderer_kwargs, **kwargs})):
             full_target = self.detector.full_plane_target(pose, calibration)
             sparse_idx = jnp.asarray(self.detector.subsamples[-1], jnp.int32)
             target = full_target
 
         render = self.render
         if self.checkpoint_gradients:
+            # _density_is_stored: inside jax.checkpoint the density argument
+            # is a fresh tracer, so render's `density is self.density` cache
+            # test would always fail and the prepped-volume cache would be
+            # silently bypassed (full re-transpose/pad/cast per forward AND
+            # per backward rematerialization). The identity is known here.
             render = jax.checkpoint(
-                partial(self.render, mask_to_channels=mask_to_channels, **kwargs)
+                partial(self.render, mask_to_channels=mask_to_channels,
+                        _density_is_stored=True, **kwargs)
             )
             img = render(self.density, source, target)
         else:
@@ -556,6 +580,7 @@ class DRR:
         renderer = _RENDERERS[self.renderer_name]
         opts = dict(self.renderer_kwargs)
         opts.update(kwargs)
+        density_is_stored = opts.pop("_density_is_stored", False)
         opts["voxel_shift"] = self.voxel_shift
         if mask_to_channels:
             opts["mask"] = self.mask
@@ -592,7 +617,9 @@ class DRR:
             resident = opts.pop("resident", None)
             # Use the cached prepped volume only for the stored density (the
             # reconstruction seam passes a free variable — never cached).
-            cached = density is self.density
+            # Identity fails under jax.checkpoint (the arg is re-traced);
+            # forward passes the known answer via _density_is_stored.
+            cached = density_is_stored or density is self.density
 
             def render_axis(ax):
                 tile, ky, zw, zc = self.pallas_cfg[ax]

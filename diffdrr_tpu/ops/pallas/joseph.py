@@ -634,7 +634,11 @@ def _prep_vol(volume, perm3, ky, zw, storage=None, xpad=0):
         vol = vol.astype(jnp.bfloat16)
     Y, Z = vol.shape[1], vol.shape[2]
     ypad = max(0, ky - Y)
-    zpad = max(0, zw - Z)
+    # Pad Z to BOTH >= zw and a multiple of 128: _compute_starts clamps the
+    # window start to Z - zw, and the kernels promise Mosaic that z-starts
+    # are 128-aligned (pl.multiple_of) — an unaligned Z - zw (e.g. raw
+    # extent 320 with zw=256) would violate that at runtime.
+    zpad = max(zw, -(-Z // 128) * 128) - Z
     if xpad or ypad or zpad:
         vol = jnp.pad(vol, ((0, xpad), (0, ypad), (0, zpad)))
     return vol
@@ -816,7 +820,7 @@ def footprint_fits(
     B = target.shape[0]
     _, n_tiles_img, _ = _plan_tiles_cached(H, W, tile)
     Y = max(dims[perm3[1]], ky)  # _prep_vol's padded extents
-    Z = max(dims[perm3[2]], zw)
+    Z = max(-(-dims[perm3[2]] // 128) * 128, zw)
     _, fits = _compute_starts(
         rays_tiled, B * n_tiles_img, tile * tile, int(n_steps), h, Y, Z,
         ky, zw, zc, with_fit=True,

@@ -20,7 +20,8 @@ gathers, no sorts.
 Validity domain: the "at most one transverse crossing per slab" decomposition
 requires every ray's transverse direction components to satisfy
 ``max(|dy|, |dz|) <= |dx|`` for the chosen march axis. The DRR orchestrator
-guards dispatch accordingly (see DRR.render / pallas_cone_margin).
+guards dispatch accordingly (see DRR.pallas_ray_compatibility /
+DRR.diagnose_pose).
 
 Gradients match the reference's semantics: nearest-neighbor sampling has zero
 gradient through voxel *values* w.r.t. pose; pose gradients flow through the

@@ -774,7 +774,9 @@ def convert(
         # Pair form (extension): (3x3 rotation, translation) with the same
         # camera-center convention as every other parameterization, so
         # convert(*T.convert("matrix"), parameterization="matrix") == T.
-        rotmat = jnp.atleast_3d(m)
+        # NOT atleast_3d: that APPENDS an axis, turning an unbatched (3,3)
+        # rotation into (3,3,1) and silently broadcasting garbage below.
+        rotmat = m[None] if m.ndim == 2 else m
         translation = jnp.atleast_2d(jnp.asarray(args[1]))
         camera_center = jnp.einsum("bij,bj->bi", rotmat, translation)
         return RigidTransform(make_matrix(rotmat, camera_center))

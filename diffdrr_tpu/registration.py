@@ -127,18 +127,25 @@ def _sgd_momentum(
 
     optax.sgd lacks the dampening term the reference experiments sweep
     (experiments/registration.py:84-95: momentum=0.9, dampening=0.9);
-    buf = momentum * buf + (1 - dampening) * grad.
+    buf = momentum * buf + (1 - dampening) * grad, except on the FIRST step
+    where torch initializes buf = grad (no dampening) — starting from a
+    zero buffer would make step 1 a factor (1 - dampening) too small.
     """
     if momentum == 0.0:
         return optax.sgd(learning_rate)
 
     def init(params):
-        return jax.tree_util.tree_map(jnp.zeros_like, params)
+        return (jnp.zeros((), jnp.int32),
+                jax.tree_util.tree_map(jnp.zeros_like, params))
 
     def update(updates, state, params=None):
         del params
+        count, bufs = state
+        first = count == 0
         buf = jax.tree_util.tree_map(
-            lambda b, g: momentum * b + (1.0 - dampening) * g, state, updates
+            lambda b, g: jnp.where(
+                first, g, momentum * b + (1.0 - dampening) * g),
+            bufs, updates,
         )
         if nesterov:
             out = jax.tree_util.tree_map(
@@ -147,7 +154,7 @@ def _sgd_momentum(
         else:
             out = buf
         out = jax.tree_util.tree_map(lambda g: -learning_rate * g, out)
-        return out, buf
+        return out, (count + 1, buf)
 
     return optax.GradientTransformation(init, update)
 

@@ -353,3 +353,41 @@ def test_footprint_guard_channels_fallback(subject, pose_args, monkeypatch):
     assert guarded.shape == oracle.shape and guarded.shape[1] > 1
     np.testing.assert_allclose(np.asarray(guarded), np.asarray(oracle),
                                atol=1e-4 * float(jnp.abs(oracle).max()))
+
+
+def test_sparse_capability_judged_on_merged_kwargs(subject, pose_args, monkeypatch):
+    """forward's sparse full-frame swap must judge Pallas capability on the
+    constructor renderer_kwargs merged with per-call kwargs: a disqualifying
+    option set at construction (mode="bilinear") must keep the subsampled
+    ray set instead of silently rendering every full-frame ray via XLA."""
+    drr = DRR(subject, sdd=800.0, height=16, delx=4.0, renderer="siddon",
+              p_subsample=0.25, mode="bilinear")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    seen = {}
+    orig = type(drr).render
+
+    def spy(self, density, source, target, **kw):
+        seen["n_rays"] = target.shape[1]
+        return orig(self, density, source, target, **kw)
+
+    monkeypatch.setattr(type(drr), "render", spy)
+    img = _render(drr, pose_args)
+    assert seen["n_rays"] == drr.detector.n_subsample
+    # Sparse renders scatter back into the full frame (zeros elsewhere).
+    assert img.shape == (1, 1, 16, 16)
+
+
+def test_diagnose_pose_subsampled_matches_full(subject):
+    """diagnose_pose must probe the FULL detector plane regardless of
+    p_subsample (the kernels always see full frames)."""
+    rot = jnp.array([[0.02, np.pi / 2 + 0.01, -0.015]], jnp.float32)
+    trans = jnp.array([[2.0, 390.0, -3.0]], jnp.float32)
+    pose = convert(rot, trans, parameterization="euler_angles",
+                   convention="ZXY")
+    d_full = DRR(subject, sdd=800.0, height=16, delx=4.0).diagnose_pose(pose)
+    d_sub = DRR(subject, sdd=800.0, height=16, delx=4.0,
+                p_subsample=0.5).diagnose_pose(pose)
+    assert d_sub["best_axis"] == d_full["best_axis"]
+    assert d_sub["footprint_fits"] == d_full["footprint_fits"]
+    np.testing.assert_allclose(d_sub["worst_ratio"], d_full["worst_ratio"],
+                               rtol=1e-6)

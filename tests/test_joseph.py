@@ -196,3 +196,43 @@ def test_step_knob_halves_samples(scene):
         )
     )
     np.testing.assert_allclose(got, half, atol=1e-3 * np.abs(half).max())
+
+
+def test_unaligned_transverse_extent_starts_alignment():
+    """Volumes whose transverse z extent exceeds zw and is NOT a multiple of
+    128 must still yield 128-aligned window starts: the kernels promise
+    Mosaic ``pl.multiple_of(zs, 128)``, and the start clamp to ``Z - zw``
+    used to break it (e.g. raw extent 320 with zw=256 gave zal=64)."""
+    from diffdrr_tpu.ops.pallas.joseph import (
+        _prep_rays, _prep_vol, _compute_starts, _plan_tiles_cached)
+
+    rng = np.random.default_rng(0)
+    dims = (16, 16, 320)
+    vol = jnp.asarray(rng.random(dims).astype(np.float32))
+    H = W = 64
+    ys, zs = np.meshgrid(np.linspace(2.0, 14.0, H),
+                         np.linspace(6.0, 314.0, W), indexing="ij")
+    tv = jnp.asarray(
+        np.stack([np.full(ys.size, 416.0), ys.ravel(), zs.ravel()], 1),
+        jnp.float32)[None]
+    sv = jnp.asarray([[[-400.0, 8.0, 160.0]]], jnp.float32)
+    weights = jnp.ones((1, 1, H * W), jnp.float32)
+
+    tile, ky, zw, zc = 16, 64, 256, 128
+    pv = _prep_vol(vol, (0, 1, 2), ky, zw)
+    assert pv.shape[2] % 128 == 0 and pv.shape[2] >= 320
+
+    rays = _prep_rays(sv, tv, weights, (0, 1, 2), dims, H, W, tile, 0.5,
+                      1.0, 1e-8)
+    _, n_tiles, _ = _plan_tiles_cached(H, W, tile)
+    starts = _compute_starts(rays, n_tiles, tile * tile, dims[0], 1.0,
+                             pv.shape[1], pv.shape[2], ky, zw, zc)
+    zal = np.asarray(starts[..., 1])
+    assert np.all(zal % 128 == 0), zal
+    assert np.all(zal + zw <= pv.shape[2])
+
+    ref = np.asarray(joseph_raycast(vol, sv, tv, weights, axis=0))
+    got = np.asarray(joseph_pallas_raycast(
+        vol, sv, tv, weights, image_shape=(H, W), axis=0,
+        tile=tile, ky=ky, zw=zw, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-3 * np.abs(ref).max())

@@ -235,3 +235,17 @@ def test_getitem_len():
     np.testing.assert_allclose(
         np.asarray(T[2].matrix[0]), np.asarray(T.matrix[2]), atol=0
     )
+
+
+def test_convert_matrix_pair_unbatched():
+    """Unbatched (3,3)+(3,) pair-form must equal the batched result
+    (regression: jnp.atleast_3d APPENDS the axis, giving (3,3,1) garbage)."""
+    R = jnp.asarray(Rotation.random(random_state=7).as_matrix(), jnp.float32)
+    t = jnp.asarray([1.0, -2.0, 3.0], jnp.float32)
+    T1 = convert(R, t, parameterization="matrix")
+    T2 = convert(R[None], t[None], parameterization="matrix")
+    np.testing.assert_allclose(np.asarray(T1.matrix), np.asarray(T2.matrix),
+                               atol=1e-6)
+    r, tt = T1.convert("matrix")
+    np.testing.assert_allclose(np.asarray(r)[0], np.asarray(R), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tt)[0], np.asarray(t), atol=1e-4)

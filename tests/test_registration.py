@@ -265,3 +265,31 @@ def test_optimize_multistart_rejects_lbfgs(setup):
     with pytest.raises(ValueError):
         optimize_multistart(drr, target, rot_true, trans_true,
                             "euler_angles", "ZXY", optimizer="lbfgs")
+
+
+def test_sgd_momentum_matches_torch():
+    """_sgd_momentum must track torch.optim.SGD exactly, INCLUDING the first
+    step (torch initializes the buffer to the raw gradient — no dampening)."""
+    import torch
+    import optax
+    from diffdrr_tpu.registration import _sgd_momentum
+
+    lr, momentum, dampening = 0.1, 0.9, 0.9
+    rng = np.random.default_rng(3)
+    p0 = rng.normal(size=(5,)).astype(np.float32)
+    grads = [rng.normal(size=(5,)).astype(np.float32) for _ in range(4)]
+
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    topt = torch.optim.SGD([tp], lr=lr, momentum=momentum,
+                           dampening=dampening)
+    tx = _sgd_momentum(lr, momentum=momentum, dampening=dampening)
+    jp = jnp.asarray(p0)
+    state = tx.init(jp)
+    for g in grads:
+        topt.zero_grad()
+        tp.grad = torch.tensor(g)
+        topt.step()
+        updates, state = tx.update(jnp.asarray(g), state)
+        jp = optax.apply_updates(jp, updates)
+        np.testing.assert_allclose(np.asarray(jp),
+                                   tp.detach().numpy(), atol=1e-6)
