@@ -7,6 +7,7 @@ from .sharding import (
     make_sharded_render,
     slab_sharded_raycast,
     slab_sharded_joseph,
+    slab_sharded_siddon,
     make_reconstruction_step,
 )
 from .multihost import (
@@ -22,6 +23,7 @@ __all__ = [
     "make_sharded_render",
     "slab_sharded_raycast",
     "slab_sharded_joseph",
+    "slab_sharded_siddon",
     "make_reconstruction_step",
     "initialize_distributed",
     "global_mesh",

@@ -42,6 +42,7 @@ __all__ = [
     "make_sharded_render",
     "slab_sharded_raycast",
     "slab_sharded_joseph",
+    "slab_sharded_siddon",
     "make_reconstruction_step",
 ]
 
@@ -310,6 +311,81 @@ def slab_sharded_joseph(
 
     spec = [None, None, None]
     spec[march_axis] = axis
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(*spec), P(), P(), P()),
+        out_specs=P(),
+    )(volume, source, target, weights)
+
+
+def slab_sharded_siddon(
+    volume: jnp.ndarray,
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    weights: Optional[jnp.ndarray],
+    mesh: Mesh,
+    axis: str = "rays",
+    *,
+    slab_axis: int = 0,
+    voxel_shift: float = 0.5,
+    eps: float = 1e-8,
+    use_pallas: bool = False,
+    image_shape: Optional[Tuple[int, int]] = None,
+    pallas_kwargs: Optional[dict] = None,
+) -> jnp.ndarray:
+    """EXACT Siddon render with the volume sharded in slabs along one axis.
+
+    Exactness of the decomposition: Siddon segments are delimited by grid-
+    plane crossings, and every slab boundary IS a grid plane — so no segment
+    straddles two slabs, each segment's midpoint voxel lies in exactly one
+    slab, and the per-slab sub-volume renders partition the full integral.
+    Each device renders its slab with ray endpoints shifted into slab-local
+    coordinates (zero contribution outside its box — "outside is air"), and
+    one ``psum`` over the mesh axis assembles the exact full integral, with
+    zero halo exchange.
+
+    ``use_pallas=True`` runs the production exact-Siddon Pallas kernel per
+    slab (marching along ``slab_axis``; pass ``image_shape`` and optionally
+    tile/ky/zw/zc via ``pallas_kwargs``) — the >HBM-volume path on TPU. The
+    default XLA sort-based oracle works on any backend.
+    """
+    n_dev = mesh.shape[axis]
+    X = volume.shape[slab_axis]
+    if X % n_dev != 0:
+        raise ValueError(f"slab axis {X} not divisible by mesh axis {n_dev}")
+    S = X // n_dev
+    B, N, _ = target.shape
+    if weights is None:
+        weights = jnp.ones((B, 1, N), volume.dtype)
+
+    from ..ops.siddon import siddon_raycast
+
+    def local(volume_slab, source, target, weights):
+        idx = jax.lax.axis_index(axis)
+        offset = (idx * S).astype(source.dtype)
+        shift = jnp.zeros((3,), source.dtype).at[slab_axis].set(offset)
+        src_l = source - shift
+        tgt_l = target - shift
+        if use_pallas:
+            from ..ops.pallas.siddon import siddon_pallas_raycast
+
+            img = siddon_pallas_raycast(
+                volume_slab, src_l, tgt_l, weights,
+                image_shape=image_shape, axis=slab_axis,
+                voxel_shift=voxel_shift, eps=eps, **(pallas_kwargs or {}),
+            )
+        else:
+            img = siddon_raycast(
+                volume_slab, src_l, tgt_l, weights,
+                voxel_shift=voxel_shift, eps=eps,
+            )
+        return jax.lax.psum(img, axis)
+
+    from jax import shard_map
+
+    spec = [None, None, None]
+    spec[slab_axis] = axis
     return shard_map(
         local,
         mesh=mesh,
