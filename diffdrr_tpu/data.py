@@ -257,6 +257,10 @@ def read(
         subject = canonicalize(subject)
 
     if labels is not None:
+        if subject.mask is None:
+            raise ValueError(
+                "read(labels=...) requires a labelmap; none was provided"
+            )
         if isinstance(labels, int):
             labels = [labels]
         mask_data = subject.mask.data
@@ -267,9 +271,13 @@ def read(
                 nifti.axcodes2ornt(subject.volume.orientation),
             )
             mask_data = nifti.apply_orientation(mask_data, tf)
+        # keep is in the VOLUME frame; the stored labelmap may be in its own
+        # frame, so mask it with the label test evaluated in ITS frame
+        # (np.isin is elementwise — no reorientation needed for that).
         keep = np.isin(mask_data, np.asarray(labels))
         subject.volume.data = subject.volume.data * keep
-        subject.mask.data = subject.mask.data * keep
+        subject.mask.data = subject.mask.data * np.isin(
+            subject.mask.data, np.asarray(labels))
         subject.density.data = subject.density.data * keep
 
     if resample_target is not None:

@@ -47,7 +47,10 @@ def load_library(name: str) -> Optional[ctypes.CDLL]:
     lib_path = _cache_dir() / f"{name}-{digest}.so"
     if not lib_path.exists():
         try:
-            with tempfile.TemporaryDirectory() as td:
+            # Temp dir INSIDE the cache dir: Path.replace is os.rename, which
+            # fails with EXDEV across filesystems (e.g. tmpfs /tmp vs a disk
+            # cache dir) — that would silently discard a working build.
+            with tempfile.TemporaryDirectory(dir=_cache_dir()) as td:
                 tmp = Path(td) / f"{name}.so"
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",

@@ -101,7 +101,15 @@ def load(path: Union[str, Path]) -> Tuple[np.ndarray, np.ndarray]:
             raise ValueError(f"{path}: bad sizeof_hdr, not NIfTI-1")
 
     magic = raw[344:348]
-    if magic[:2] not in (b"n+", b"ni"):
+    if magic[:2] == b"ni":
+        # NIfTI-1 header/image PAIR (.hdr + .img): the voxel data lives in a
+        # separate file this single-file reader does not open — reading from
+        # the header bytes would return garbage.
+        raise ValueError(
+            f"{path}: NIfTI-1 pair format ('ni1' magic, data in a separate "
+            f".img file) is not supported; convert to single-file .nii[.gz]"
+        )
+    if magic[:2] != b"n+":
         raise ValueError(f"{path}: bad magic {magic!r}")
 
     dim = struct.unpack_from(end + "8h", raw, 40)
@@ -128,6 +136,12 @@ def load(path: Union[str, Path]) -> Tuple[np.ndarray, np.ndarray]:
     ).reshape(shape, order="F")
     data = np.asarray(data, dtype=data.dtype.newbyteorder("="))
 
+    # NaN slope/inter means "unset" in files from some writers (nibabel
+    # treats NaN as no-scale); applying it would NaN the whole volume.
+    if np.isnan(scl_slope):
+        scl_slope = 0.0
+    if np.isnan(scl_inter):
+        scl_inter = 0.0
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
         slope = scl_slope if scl_slope != 0.0 else 1.0
         data = data.astype(np.float32) * slope + scl_inter

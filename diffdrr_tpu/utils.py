@@ -113,13 +113,20 @@ def resample(
     x = _center_crop(x, crop_size)
     x = _resize(x, (height, width))
 
-    # Pad to resize pixels.
+    # Pad (growing pixels) or crop (shrinking pixels) to resize pixels. The
+    # reference's torch F.pad interprets negative padding as a crop;
+    # jnp.pad rejects it, so take the explicit crop branch.
     pixel_scaling = new_delx / delx
     padding = (shape * (pixel_scaling - 1) / 2).astype(int)
-    x = jnp.pad(
-        x,
-        ((0, 0), (0, 0), (padding[0], padding[0]), (padding[1], padding[1])),
-    )
+    if pixel_scaling >= 1:
+        x = jnp.pad(
+            x,
+            ((0, 0), (0, 0), (padding[0], padding[0]),
+             (padding[1], padding[1])),
+        )
+    else:
+        crop_size = np.maximum(shape.astype(int) + 2 * padding, 1)
+        x = _center_crop(x, crop_size)
     x = _resize(x, (height, width))
     return x
 

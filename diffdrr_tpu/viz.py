@@ -470,7 +470,7 @@ def drr_to_mesh(
     subject,
     method: str = "surface_nets",
     threshold: float = 300.0,
-    smooth_iters: int = 10,
+    smooth_iters: Optional[int] = None,
     verbose: bool = True,
 ) -> Mesh:
     """CT volume -> bone-surface mesh in world coordinates.
@@ -479,13 +479,19 @@ def drr_to_mesh(
     reference's recommended flavor for anatomy) runs the native Surface Nets
     mesher with Taubin smoothing; ``method="marching_cubes"`` runs true
     marching cubes (edge-interpolated vertices, native table marcher).
+
+    ``smooth_iters=None`` uses each method's default (10 Taubin iterations
+    for Surface Nets, 0 for marching cubes — its vertices are already
+    edge-interpolated); an explicit value is honored by both methods.
     """
     del verbose
     vol = np.asarray(subject.volume.data, np.float32)
     if method == "marching_cubes":
-        mesh = marching_cubes(vol, threshold)
+        mesh = marching_cubes(
+            vol, threshold, 0 if smooth_iters is None else smooth_iters)
     elif method == "surface_nets":
-        mesh = surface_nets(vol, threshold, smooth_iters)
+        mesh = surface_nets(
+            vol, threshold, 10 if smooth_iters is None else smooth_iters)
     else:
         raise ValueError(f"unknown mesh method {method!r}")
     return mesh.transform(np.asarray(subject.volume.affine))
@@ -561,6 +567,7 @@ def visualize_scene(
     if ax is None:
         fig = plt.figure(figsize=(8, 8))
         ax = fig.add_subplot(projection="3d")
+    los, his = [], []
     for item in meshes_and_cameras:
         if isinstance(item, Mesh):
             faces = item.faces
@@ -574,14 +581,27 @@ def visualize_scene(
                 Poly3DCollection(tris, alpha=0.3, facecolor="tan",
                                  edgecolor="none")
             )
-            lo = item.vertices.min(axis=0)
-            hi = item.vertices.max(axis=0)
-            ax.auto_scale_xyz([lo[0], hi[0]], [lo[1], hi[1]], [lo[2], hi[2]])
+            los.append(item.vertices.min(axis=0))
+            his.append(item.vertices.max(axis=0))
         elif isinstance(item, tuple) and len(item) == 3:
             frustum, det, ray = item
             tris = frustum.vertices[frustum.faces]
             ax.add_collection3d(
                 Poly3DCollection(tris, alpha=0.15, facecolor="steelblue")
             )
+            det = np.asarray(det)
+            if len(det):
+                stride = max(1, len(det) // 2000)  # keep the plot light
+                ax.scatter(*det[::stride].T, s=1, color="steelblue",
+                           alpha=0.4)
             ax.plot(*ray.T, color="crimson", lw=1)
+            pts = np.concatenate([frustum.vertices, np.atleast_2d(ray)])
+            los.append(pts.min(axis=0))
+            his.append(pts.max(axis=0))
+    if los:
+        # One autoscale over EVERY item: a camera-only scene would otherwise
+        # keep matplotlib's default [0,1] limits and render blank.
+        lo = np.min(los, axis=0)
+        hi = np.max(his, axis=0)
+        ax.auto_scale_xyz([lo[0], hi[0]], [lo[1], hi[1]], [lo[2], hi[2]])
     return ax

@@ -169,3 +169,66 @@ def test_native_gunzip_matches_gzip():
     assert _gunzip_native(multi) == payload[:3000]
     # Truncated stream reports failure (caller falls back to gzip module).
     assert _gunzip_native(gz.compress(payload)[:100]) is None
+
+
+def test_read_label_subset_mismatched_orientations(tmp_path):
+    """Volume in RAS, labelmap saved in LPS: the label test on the volume
+    must use the REORIENTED mask, and the stored labelmap must be masked in
+    ITS OWN frame (regression: the volume-frame keep was applied to the
+    unreoriented mask, zeroing the wrong voxels)."""
+    rng = np.random.default_rng(5)
+    hu = rng.integers(0, 300, (8, 8, 8)).astype(np.int16)
+    hu[1, 0, 3] = 1200  # the kept voxel must have nonzero density
+    labels = np.zeros((8, 8, 8), np.int16)
+    labels[6, 7, 3] = 1  # one labeled voxel, off-center so flips matter
+    affine = np.eye(4)
+    lps = np.diag([-1.0, -1.0, 1.0, 1.0])  # flip x and y
+    lps[:3, 3] = [7.0, 7.0, 0.0]
+    vol_path = tmp_path / "ct.nii.gz"
+    lab_path = tmp_path / "mask.nii.gz"
+    nifti.save(vol_path, hu, affine)
+    nifti.save(lab_path, labels, lps)
+    subject = read(vol_path, lab_path, labels=1, orientation=None,
+                   center_volume=False)
+    # Volume frame: LPS (6,7,3) maps to world/RAS (1,0,3).
+    assert (subject.density.data > 0).sum() == 1
+    assert subject.density.data[1, 0, 3] > 0
+    # The stored labelmap keeps its own frame: exactly its labeled voxel.
+    assert (subject.mask.data != 0).sum() == 1
+    assert subject.mask.data[6, 7, 3] == 1
+
+
+def test_read_labels_without_mask_raises(tmp_path):
+    hu = np.zeros((4, 4, 4), np.int16)
+    p = tmp_path / "ct.nii.gz"
+    nifti.save(p, hu, np.eye(4))
+    with pytest.raises(ValueError, match="labelmap"):
+        read(p, labels=1, orientation=None)
+
+
+def test_nifti_nan_scl_slope_ignored(tmp_path):
+    """NaN scl_slope/inter mean 'unset' (nibabel semantics) — the volume
+    must load unscaled, not as all-NaN."""
+    data = np.arange(8, dtype=np.int16).reshape(2, 2, 2)
+    path = tmp_path / "v.nii"
+    nifti.save(path, data, np.eye(4))
+    raw = bytearray(path.read_bytes())
+    import struct
+    struct.pack_into("<2f", raw, 112, np.nan, np.nan)  # scl_slope, scl_inter
+    path.write_bytes(bytes(raw))
+    vol, affine = nifti.load(path)
+    np.testing.assert_array_equal(np.asarray(vol), data)
+
+
+def test_nifti_pair_magic_rejected(tmp_path):
+    """'ni1' (header/image pair) magic must fail loudly — the data lives in
+    a separate .img file this single-file reader does not open."""
+    data = np.zeros((2, 2, 2), np.int16)
+    path = tmp_path / "v.nii"
+    nifti.save(path, data, np.eye(4))
+    raw = bytearray(path.read_bytes())
+    raw[344:348] = b"ni1\x00"
+    hdr = tmp_path / "v.hdr"
+    hdr.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="pair"):
+        nifti.load(hdr)

@@ -72,3 +72,16 @@ def test_get_pinhole_camera_consistency():
 
     # 3) cam.pose round-trips to a usable DRR pose (w2c inverse of extrinsics).
     assert cam.pose.matrix.shape == (1, 4, 4)
+
+
+def test_resample_pixel_shrink_crops():
+    """new_delx < delx must crop (torch negative-pad semantics), not crash."""
+    img = np.zeros((1, 1, 32, 32), np.float32)
+    img[0, 0, 16, 16] = 1.0
+    out = np.asarray(resample(jnp.asarray(img), 1000.0, 2.0, new_delx=1.0))
+    assert out.shape == img.shape
+    # Halving the pixel size zooms in 2x about the center: the bright pixel
+    # stays near the center.
+    r, c = np.unravel_index(np.argmax(out[0, 0]), out[0, 0].shape)
+    assert abs(r - 16) <= 2 and abs(c - 16) <= 2
+    assert out[0, 0].max() > 0.1

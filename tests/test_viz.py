@@ -203,3 +203,28 @@ def test_img_to_mesh_and_scene(scene):
     mesh = labelmap_to_mesh(subject, labels=5, smooth_iters=0)
     ax = visualize_scene(mesh, (frustum, det, ray))
     assert ax is not None
+
+
+def test_visualize_scene_camera_only_autoscales(scene):
+    """A camera-only scene must autoscale to the frustum extent (regression:
+    axes stayed at matplotlib's default [0,1] and the plot was blank)."""
+    subject, drr, rot, trans, img = scene
+    pose = convert(rot, trans, parameterization="euler_angles",
+                   convention="ZXY")
+    frustum, det, ray = img_to_mesh(drr, pose)
+    ax = visualize_scene((frustum, det, ray))
+    lo, hi = ax.get_xlim3d()
+    span = np.asarray(frustum.vertices)
+    assert hi - lo > 0.5 * (span[:, 0].max() - span[:, 0].min())
+
+
+def test_drr_to_mesh_smooth_iters_honored(scene):
+    """An explicit smooth_iters must reach BOTH meshers (regression:
+    marching_cubes silently dropped it)."""
+    subject, *_ = scene
+    m0 = drr_to_mesh(subject, method="marching_cubes", threshold=300.0,
+                     smooth_iters=0)
+    m5 = drr_to_mesh(subject, method="marching_cubes", threshold=300.0,
+                     smooth_iters=5)
+    assert m0.n_vertices == m5.n_vertices
+    assert not np.allclose(m0.vertices, m5.vertices)
