@@ -109,4 +109,27 @@ print(f"voxel correlation with ground truth: {float(corr):.3f}, "
       f"mean |err| {float(err.mean()):.4f}")
 assert float(corr) > 0.4
 
+# ---------------------------------------------------------------------------
+# 4. Checkpoint / resume. Long reconstructions (full-resolution CT, many
+# views) should checkpoint: `diffdrr_tpu.checkpoint` wraps orbax with
+# step-indexed retention, and restoring with a sharded `like` pytree
+# resumes on any device-mesh layout. (`experiments/reconstruction.py
+# --ckpt-dir` wires this into the CLI.)
+# ---------------------------------------------------------------------------
+import tempfile
+
+from diffdrr_tpu.checkpoint import CheckpointManager
+
+with tempfile.TemporaryDirectory() as td:
+    with CheckpointManager(td, max_to_keep=2) as mgr:
+        mgr.save(n_iters, {"density": density, "opt_state": opt_state})
+        mgr.wait()
+        step_back, state = mgr.latest(
+            like={"density": jnp.zeros_like(density),
+                  "opt_state": opt_state})
+    assert step_back == n_iters
+    np.testing.assert_allclose(np.asarray(state["density"]),
+                               np.asarray(density))
+print("checkpoint save/restore round trip: OK")
+
 print("tutorial 03: all checks passed")

@@ -116,6 +116,24 @@ np.testing.assert_allclose(
 )
 print("slab-sharded Joseph (volume split across devices) matches: OK")
 
+# The EXACT Siddon renderer slab-shards too, and the decomposition is
+# mathematically exact (not an approximation): slab boundaries are grid
+# planes, which are already Siddon segment boundaries, so each segment's
+# contribution lands on exactly one device and one psum restores the full
+# integral — values and gradients.
+from diffdrr_tpu.parallel import slab_sharded_siddon
+from diffdrr_tpu.ops.siddon import siddon_raycast
+
+img_slab_s = slab_sharded_siddon(
+    drr_j.density, source_v, target_v, weights, mesh1, "rays", slab_axis=0,
+)
+img_full_s = siddon_raycast(drr_j.density, source_v, target_v, weights)
+np.testing.assert_allclose(
+    np.asarray(img_slab_s), np.asarray(img_full_s),
+    rtol=1e-4, atol=1e-4 * float(np.abs(img_full_s).max()),
+)
+print("slab-sharded exact Siddon matches: OK")
+
 # ---------------------------------------------------------------------------
 # 4. Distributed reconstruction: views shard over `data`, rays over `rays`,
 # the density gradient is all-reduced by XLA automatically under jit.
