@@ -447,6 +447,8 @@ class DRR:
                 sv, tv, weights, dims=self.density.shape,
                 image_shape=(H, W), axis=axis, tile=tile, ky=ky, zw=zw,
                 zc=zc, voxel_shift=self.voxel_shift,
+                quadrature=("siddon" if self.renderer_name == "siddon"
+                            else "joseph"),
             )))
         best = int(np.argmin(ratios))
         return {
@@ -673,6 +675,8 @@ class DRR:
                     source, target, weights, dims=self.density.shape,
                     image_shape=(H, W), axis=ax, tile=tile, ky=ky, zw=zw,
                     zc=zc, voxel_shift=self.voxel_shift,
+                    quadrature=("siddon" if self.renderer_name == "siddon"
+                                else "joseph"),
                 )
 
             def xla_fallback(density, source, target, weights):

@@ -137,6 +137,28 @@ def _dot(a, b, dims, precision):
     )
 
 
+def _validate_z_window(volume_shape, axis, zw, zc):
+    """Reject z-window configs that cannot cover the rolled compute window.
+
+    The DMA window starts at a 128-aligned ``zal`` with the true start
+    ``zshift in [0, 127]`` lanes further in, and the compute window is
+    ``win[zshift : zshift + zc]`` — so ``zc + 127 <= zw`` is required for
+    every possible alignment. The one exception: a window covering the whole
+    padded extent, where the start clamp forces ``zshift == 0`` (then
+    ``zc == zw`` is fine). Anything else silently samples rolled-in garbage
+    lanes (measured 43% error at zw=zc=128 on a 320-extent volume).
+    """
+    other = tuple(d for d in range(3) if d != axis)
+    Zp = max(zw, -(-volume_shape[other[1]] // 128) * 128)
+    if zc + 127 <= zw or (zc == zw and zw >= Zp):
+        return
+    raise ValueError(
+        f"invalid z windows zc={zc}, zw={zw} for transverse extent "
+        f"{volume_shape[other[1]]} (padded {Zp}): need zc + 127 <= zw "
+        f"(roll headroom) or zc == zw >= the padded extent"
+    )
+
+
 def _roll_window(win, zshift, zc):
     """Rotate the aligned (KY, ZW) window so the true z-start is lane 0, then
     keep the first ``zc`` lanes — shrinks the MXU contraction from ZW (which
@@ -682,8 +704,13 @@ def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
     rays = rays.at[_GZ].set(gs[:, 2])
     rays = rays.at[_DZ].set(d[:, 2])
     rays = rays.at[_SC].set(w * alpha_scale)
-    rays = rays.at[_AMIN].set(jax.lax.stop_gradient(amin))
-    rays = rays.at[_AMAX].set(jax.lax.stop_gradient(amax))
+    # amin/amax ARE differentiated: the exact-Siddon backward kernel emits
+    # boundary cotangents on these rows (the integral's -V(entry) d(amin)
+    # + V(exit) d(amax) terms, which the reference also carries); the
+    # joseph/raymarch kernels emit zeros there (hard slab mask, zero a.e.
+    # derivative, matching their XLA oracles).
+    rays = rays.at[_AMIN].set(amin)
+    rays = rays.at[_AMAX].set(amax)
 
     perm, n_tiles_img, padded = _plan_tiles_cached(H, W, tile)
     perm_j = jnp.asarray(perm)
@@ -703,7 +730,7 @@ def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
 
 
 def _compute_starts(rays_tiled, n_tiles, TR, n_planes, h, Y, Z, ky, zw, zc,
-                    with_fit=False, y0=None, z0=None):
+                    with_fit=False, y0=None, z0=None, quadrature="joseph"):
     """Per (tile, plane) window placement + per-tile active plane ranges.
 
     Non-differentiable. Returns starts (n_tiles, n_planes, 4) int32, columns
@@ -738,16 +765,39 @@ def _compute_starts(rays_tiled, n_tiles, TR, n_planes, h, Y, Z, ky, zw, zc,
     ks_chunks = ks.reshape(n_chunks, chunk)
 
     def chunk_minima(_, kc):
-        alpha = rt[_A][..., None] * kc[None, None, :] + rt[_B][..., None]
-        y_t = rt[_GY][..., None] + alpha * rt[_DY][..., None]
-        z_t = rt[_GZ][..., None] + alpha * rt[_DZ][..., None]
-        ins = (alpha >= rt[_AMIN][..., None]) & (alpha <= rt[_AMAX][..., None])
-        y_min_k = jnp.min(jnp.where(ins, y_t, big), axis=1)  # (tiles, chunk)
-        z_min_k = jnp.min(jnp.where(ins, z_t, big), axis=1)
+        amin = rt[_AMIN][..., None]
+        amax = rt[_AMAX][..., None]
+        if quadrature == "siddon":
+            # Slab quadrature: slab k spans alpha([k-h/2, k+h/2]) clipped to
+            # [amin, amax]; activity and window extrema must come from the
+            # clipped INTERVAL, not the center sample — a ray entering the
+            # volume mid-slab has a partial segment in a slab whose center
+            # alpha is outside [amin, amax] (it would otherwise be dropped,
+            # losing up to h/2 of boundary path length per ray).
+            a_f0 = rt[_A][..., None] * (kc[None, None, :] - 0.5 * h) + rt[_B][..., None]
+            a_f1 = rt[_A][..., None] * (kc[None, None, :] + 0.5 * h) + rt[_B][..., None]
+            lo_c = jnp.minimum(a_f0, a_f1)
+            hi_c = jnp.maximum(a_f0, a_f1)
+            ins = jnp.maximum(lo_c, amin) <= jnp.minimum(hi_c, amax)
+            c0 = jnp.clip(lo_c, amin, amax)
+            c1 = jnp.clip(hi_c, amin, amax)
+            ya = rt[_GY][..., None] + c0 * rt[_DY][..., None]
+            yb = rt[_GY][..., None] + c1 * rt[_DY][..., None]
+            za = rt[_GZ][..., None] + c0 * rt[_DZ][..., None]
+            zb = rt[_GZ][..., None] + c1 * rt[_DZ][..., None]
+            y_lo, y_hi = jnp.minimum(ya, yb), jnp.maximum(ya, yb)
+            z_lo, z_hi = jnp.minimum(za, zb), jnp.maximum(za, zb)
+        else:
+            alpha = rt[_A][..., None] * kc[None, None, :] + rt[_B][..., None]
+            y_lo = y_hi = rt[_GY][..., None] + alpha * rt[_DY][..., None]
+            z_lo = z_hi = rt[_GZ][..., None] + alpha * rt[_DZ][..., None]
+            ins = (alpha >= amin) & (alpha <= amax)
+        y_min_k = jnp.min(jnp.where(ins, y_lo, big), axis=1)  # (tiles, chunk)
+        z_min_k = jnp.min(jnp.where(ins, z_lo, big), axis=1)
         if not with_fit:
             return None, (y_min_k, z_min_k)
-        y_max_k = jnp.max(jnp.where(ins, y_t, -big), axis=1)
-        z_max_k = jnp.max(jnp.where(ins, z_t, -big), axis=1)
+        y_max_k = jnp.max(jnp.where(ins, y_hi, -big), axis=1)
+        z_max_k = jnp.max(jnp.where(ins, z_hi, -big), axis=1)
         return None, (y_min_k, z_min_k, y_max_k, z_max_k)
 
     _, mins = jax.lax.scan(chunk_minima, None, ks_chunks)
@@ -797,7 +847,7 @@ def _compute_starts(rays_tiled, n_tiles, TR, n_planes, h, Y, Z, ky, zw, zc,
 
 def footprint_fits(
     source, target, weights, *, dims, image_shape, axis, tile, ky, zw, zc,
-    voxel_shift=0.5, step=1.0, n_steps=None, eps=1e-8,
+    voxel_shift=0.5, step=1.0, n_steps=None, eps=1e-8, quadrature="joseph",
 ):
     """Exact runtime probe: do all (tile, plane) footprints fit the planned
     (ky, zc) windows for this pose?
@@ -824,7 +874,7 @@ def footprint_fits(
     _, fits = _compute_starts(
         rays_tiled, B * n_tiles_img, tile * tile, int(n_steps), h, Y, Z,
         ky, zw, zc, with_fit=True,
-        y0=dims[perm3[1]], z0=dims[perm3[2]],
+        y0=dims[perm3[1]], z0=dims[perm3[2]], quadrature=quadrature,
     )
     return fits
 
@@ -853,7 +903,8 @@ def _resident_bytes(dims, axis, ky, zw, blend, itemsize):
     other = tuple(d for d in range(3) if d != axis)
     n_src = dims[axis] + (1 if blend else 0)
     Y = max(dims[other[0]], ky)
-    Z = max(dims[other[1]], zw)
+    # Mirrors _prep_vol: Z pads to BOTH >= zw and a 128 multiple.
+    Z = max(-(-dims[other[1]] // 128) * 128, zw)
     return n_src * Y * Z * itemsize
 
 
@@ -1212,6 +1263,7 @@ def joseph_pallas_raycast(
         weights = jnp.ones((B, 1, N), volume.dtype)
     if zc is None:
         zc = zw - 128 if zw > 128 else zw
+    _validate_z_window(volume.shape, axis, zw, zc)
     h = float(step)
     if n_steps is None:
         n_steps = int(-(-volume.shape[axis] // h))

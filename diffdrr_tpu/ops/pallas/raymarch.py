@@ -77,6 +77,8 @@ def raymarch_pallas_raycast(
         weights = jnp.ones((B, 1, N), volume.dtype)
     if zc is None:
         zc = zw - 128 if zw > 128 else zw
+    from .joseph import _validate_z_window
+    _validate_z_window(volume.shape, axis, zw, zc)
     X = volume.shape[axis]
     n_steps = int(n_points)
     if not allow_oversample:

@@ -91,8 +91,8 @@ def _slab_segments(r, s, starts_ref):
     alo = jnp.minimum(a1, a2)
     ahi = jnp.maximum(a1, a2)
     alo = jnp.maximum(alo, r["amin"])
-    ahi = jnp.minimum(ahi, r["amax"])
-    ahi = jnp.maximum(ahi, alo)  # empty intersection -> zero-length slab
+    ahi_raw = jnp.minimum(ahi, r["amax"])
+    ahi = jnp.maximum(ahi_raw, alo)  # empty intersection -> zero-length slab
 
     def crossings(g, d):
         p_lo = g + alo * d
@@ -134,8 +134,8 @@ def _slab_segments(r, s, starts_ref):
     ys = starts_ref[0, s, 0].astype(jnp.float32)
     zs = (starts_ref[0, s, 1] + starts_ref[0, s, 2]).astype(jnp.float32)
     aux = dict(
-        alo=alo, ahi=ahi, a1=a1, a2=a2, ty=ty, tz=tz, t1=t1, t2=t2,
-        y0=y0, z0=z0, seg_sel=seg_sel, lens=lens,
+        alo=alo, ahi=ahi, ahi_raw=ahi_raw, a1=a1, a2=a2, ty=ty, tz=tz,
+        t1=t1, t2=t2, y0=y0, z0=z0, seg_sel=seg_sel, lens=lens,
     )
     return C, y0 - ys, z0 - zs, aux
 
@@ -294,17 +294,24 @@ def _bwd_rays_kernel(
         d_alo_tot = d_alo + d_alo_y + d_alo_z
         d_ahi_tot = d_ahi + d_ahi_y + d_ahi_z
 
-        # alo/ahi from the slab planes a1, a2 (clips to amin/amax are
-        # non-differentiable boundaries -> dropped, matching stop_gradient
-        # on amin/amax in the packing).
+        # alo routes to the slab plane (a1/a2) when interior, else to the
+        # volume-entry alpha amin; ahi likewise to amax. These boundary
+        # terms are the integral's -V(entry) d(amin) + V(exit) d(amax)
+        # components — the oracle and the reference both carry them, so
+        # dropping them biased pose gradients whenever the volume boundary
+        # is not air. Empty slabs (ahi clamped to alo) route their d_ahi
+        # through alo's chain, cancelling d_alo exactly.
         a1, a2 = aux["a1"], aux["a2"]
+        empty = (aux["ahi_raw"] < aux["alo"]).astype(jnp.float32)
+        d_alo_eff = d_alo_tot + empty * d_ahi_tot
+        d_ahi_eff = (1.0 - empty) * d_ahi_tot
         lo_is_a1 = (a1 <= a2).astype(jnp.float32)
         lo_interior = (aux["alo"] > r["amin"]).astype(jnp.float32)
-        hi_interior = (aux["ahi"] < r["amax"]).astype(jnp.float32)
+        hi_interior = (aux["ahi_raw"] < r["amax"]).astype(jnp.float32)
         sf = s.astype(jnp.float32)
         # a1 = (s-0.5) a + b ; a2 = (s+0.5) a + b
-        d_a1 = d_alo_tot * lo_is_a1 * lo_interior + d_ahi_tot * (1 - lo_is_a1) * hi_interior
-        d_a2 = d_alo_tot * (1 - lo_is_a1) * lo_interior + d_ahi_tot * lo_is_a1 * hi_interior
+        d_a1 = d_alo_eff * lo_is_a1 * lo_interior + d_ahi_eff * (1 - lo_is_a1) * hi_interior
+        d_a2 = d_alo_eff * (1 - lo_is_a1) * lo_interior + d_ahi_eff * lo_is_a1 * hi_interior
 
         acc_ref[0:1, :] += d_a1 * (sf - 0.5) + d_a2 * (sf + 0.5)
         acc_ref[1:2, :] += d_a1 + d_a2
@@ -314,6 +321,9 @@ def _bwd_rays_kernel(
         acc_ref[5:6, :] += d_dz_c
         # d/dw: the plain segment-value sum.
         acc_ref[6:7, :] += V1 * aux["lens"][0] + V2 * aux["lens"][1] + V3 * aux["lens"][2]
+        # Boundary cotangents (clamped branches).
+        acc_ref[7:8, :] += d_alo_eff * (1.0 - lo_interior)
+        acc_ref[8:9, :] += d_ahi_eff * (1.0 - hi_interior)
         return ()
 
     jax.lax.fori_loop(lo, hi, body, (), unroll=False)
@@ -326,6 +336,8 @@ def _bwd_rays_kernel(
     dout_ref[_GZ : _GZ + 1, :] = acc_ref[4:5, :] * g
     dout_ref[_DZ : _DZ + 1, :] = acc_ref[5:6, :] * g
     dout_ref[_SC : _SC + 1, :] = acc_ref[6:7, :] * g
+    dout_ref[_AMIN : _AMIN + 1, :] = acc_ref[7:8, :] * g
+    dout_ref[_AMAX : _AMAX + 1, :] = acc_ref[8:9, :] * g
 
 
 def _bwd_vol_kernel(
@@ -438,7 +450,7 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
         n_tiles = B * n_tiles_img
         starts = _compute_starts(
             rays_tiled, n_tiles, TR, n_planes, 1, vol.shape[1], vol.shape[2],
-            ky, zw, zc,
+            ky, zw, zc, quadrature="siddon",
         )
         return vol, rays_tiled, starts
 
@@ -504,7 +516,7 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
             out_shape=jax.ShapeDtypeStruct((_NROWS, n_tiles * TR), jnp.float32),
             scratch_shapes=[
                 _win_scratch(vol, ky, zw, False, resident),
-                pltpu.VMEM((8, TR), jnp.float32),
+                pltpu.VMEM((16, TR), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
@@ -586,6 +598,8 @@ def siddon_pallas_raycast(
         weights = jnp.ones((B, 1, N), volume.dtype)
     if zc is None:
         zc = zw - 128 if zw > 128 else zw
+    from .joseph import _validate_z_window
+    _validate_z_window(volume.shape, axis, zw, zc)
     use_prepped = prepped_vol is not None
     resident = _resolve_resident(resident, volume, axis, ky, zw, False,
                                  storage, None, prepped_vol)

@@ -150,8 +150,10 @@ def siddon_raycast(
         raise ValueError(
             "n_channels must be provided (static) when rendering with a mask"
         )
+    # Labels are IDs, never interpolated: always nearest regardless of the
+    # value-sampling mode (matches joseph.py/trilinear.py and the kernels).
     channels = sample_volume(
-        mask.astype(volume.dtype), xyzs, mode=mode, voxel_shift=voxel_shift,
-        align_corners=align_corners,
+        mask.astype(volume.dtype), xyzs, mode="nearest",
+        voxel_shift=voxel_shift, align_corners=align_corners,
     ).astype(jnp.int32)
     return scatter_channels(img, channels, n_channels)

@@ -69,9 +69,10 @@ def trilinear_raycast(
     img = sample_volume(volume, xyzs, mode=mode, voxel_shift=voxel_shift,
                         align_corners=align_corners)
 
-    # Ray length x rectangular-rule step size.
+    # Ray length x rectangular-rule step size. n_points=1 would divide by
+    # zero (the Pallas counterpart clamps to 2 the same way).
     img = img * jnp.swapaxes(weights, -1, -2)
-    step_size = (alphamax - alphamin) / (n_points - 1)
+    step_size = (alphamax - alphamin) / max(n_points - 1, 1)
     img = img * step_size
 
     if mask is None:

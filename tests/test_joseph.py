@@ -236,3 +236,19 @@ def test_unaligned_transverse_extent_starts_alignment():
         vol, sv, tv, weights, image_shape=(H, W), axis=0,
         tile=tile, ky=ky, zw=zw, interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-3 * np.abs(ref).max())
+
+
+def test_invalid_z_window_rejected():
+    """zc == zw smaller than the padded transverse extent silently sampled
+    rolled-in garbage lanes (measured 43% error); it must be rejected."""
+    vol = jnp.zeros((16, 16, 320), jnp.float32)
+    sv = jnp.zeros((1, 1, 3), jnp.float32)
+    tv = jnp.ones((1, 256, 3), jnp.float32)
+    with pytest.raises(ValueError, match="z window"):
+        joseph_pallas_raycast(
+            vol, sv, tv, None, image_shape=(16, 16), axis=0,
+            tile=16, ky=64, zw=128, interpret=True)
+    with pytest.raises(ValueError, match="z window"):
+        joseph_pallas_raycast(
+            vol, sv, tv, None, image_shape=(16, 16), axis=0,
+            tile=16, ky=64, zw=256, zc=192, interpret=True)

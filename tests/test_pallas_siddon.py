@@ -148,3 +148,57 @@ def test_footprint_probe_soundness_fuzz():
             tile=tile, ky=ky, zw=zw, interpret=True))
         np.testing.assert_allclose(got, ref, atol=2e-3 * np.abs(ref).max())
     assert n_fit >= 3  # the fuzz must actually exercise the parity claim
+
+
+def test_boundary_gradient_parity_dense_volume():
+    """Pose gradients with NON-AIR volume boundaries: the integral's
+    boundary terms (-V(entry) d(amin) + V(exit) d(amax)) must match the
+    oracle (regression: the kernel stop-gradiented amin/amax, biasing
+    d/dsource by 218% on a dense-boundary volume)."""
+    rng = np.random.default_rng(1)
+    vol = jnp.asarray(1.0 + 0.5 * rng.random((32, 32, 32)).astype(np.float32))
+    H = W = 16
+    ys, zs = np.meshgrid(np.linspace(-4.0, 36.0, H),
+                         np.linspace(-4.0, 36.0, W), indexing="ij")
+    tv = jnp.asarray(np.stack(
+        [np.full(ys.size, 70.0), ys.ravel(), zs.ravel()], 1), jnp.float32)[None]
+    sv = jnp.asarray([[-70.0, 10.0, 12.0]], jnp.float32)[None]
+    w = jnp.ones((1, 1, H * W), jnp.float32)
+
+    def loss_ref(sv, tv, w):
+        return jnp.sum(siddon_raycast(vol, sv, tv, w) ** 2)
+
+    def loss_pal(sv, tv, w):
+        return jnp.sum(siddon_pallas_raycast(
+            vol, sv, tv, w, image_shape=(H, W), axis=0,
+            tile=16, ky=64, zw=256, interpret=True) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(sv, tv, w)
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2))(sv, tv, w)
+    for a, b in zip(gr, gp):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(b, a, atol=2e-5 * max(np.abs(a).max(), 1.0))
+
+
+def test_partial_entry_slab_not_dropped():
+    """Rays entering the volume mid-slab keep the partial segment even when
+    NO ray in the tile has its slab-center alpha inside the entry slab
+    (regression: center-based plane activity dropped up to 0.5 voxel of
+    boundary path per ray — exact match required on an all-ones volume)."""
+    vol = jnp.ones((32, 32, 32), jnp.float32)
+    H = W = 16
+    x_e = 10.3  # all rays enter through the y-face in slab 10's second half
+    y_s = -0.5 - 0.8 * (x_e + 50)
+    jit = np.linspace(0, 0.02, H * W)
+    sv = jnp.asarray(np.stack(
+        [np.full(H * W, -50.0), np.full(H * W, y_s), np.full(H * W, 16.0)],
+        1), jnp.float32)[None]
+    tv = jnp.asarray(np.stack(
+        [np.full(H * W, 50.0), np.full(H * W, y_s + 80.0), 16.0 + jit],
+        1), jnp.float32)[None]
+    w = jnp.ones((1, 1, H * W), jnp.float32)
+    ref = np.asarray(siddon_raycast(vol, sv, tv, w))
+    got = np.asarray(siddon_pallas_raycast(
+        vol, sv, tv, w, image_shape=(H, W), axis=0,
+        tile=16, ky=64, zw=256, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-6 * np.abs(ref).max())
