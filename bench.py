@@ -80,19 +80,30 @@ def _time_scan(run, variants, iters):
 
 
 def _per_iter(run, rot0, iters=6, reps=3):
-    """Per-iteration seconds from the K-vs-1 scan difference."""
+    """Per-iteration seconds from the K-vs-1 scan difference.
+
+    Raises RuntimeError when no valid measurement could be taken — callers
+    run under the watchdog, which records it in the errors map. Silently
+    returning a known-invalid number would publish garbage as a headline.
+    """
     float(run(rot0, 1))
     float(run(rot0, 1 + iters))
     for attempt in range(3):
-        t1 = _time_scan(run, [rot0 + 1e-4 * (i + 1) for i in range(reps)], 1)
-        tk = _time_scan(run, [rot0 + 1e-4 * (i + 11) for i in range(reps)],
+        # FRESH inputs every attempt: the tunnel caches identical dispatches,
+        # so re-timing the same values can never recover from a glitch.
+        base = rot0 + 0.01 * attempt
+        t1 = _time_scan(run, [base + 1e-4 * (i + 1) for i in range(reps)], 1)
+        tk = _time_scan(run, [base + 1e-4 * (i + 11) for i in range(reps)],
                         1 + iters)
         per = (tk - t1) / iters
         # A nonpositive or sub-0.1 ms difference means a transient tunnel
         # glitch (async handles resolving early), not a real measurement.
         if per > 1e-4:
             return per
-    return max(per, 1e-9)
+    raise RuntimeError(
+        f"unmeasurable: K-vs-1 difference {per * 1e3:.4f} ms/iter after 3 "
+        f"fresh-input attempts (tunnel cache/async glitch)"
+    )
 
 
 def main(smoke=False):

@@ -42,9 +42,12 @@ def _canonical_plane(
     h_off = 1.0 if height % 2 else 0.5
     w_off = 1.0 if width % 2 else 0.5
 
-    # torch.arange(-h // 2, h // 2) uses Python floor division.
-    t = np.arange(-(height // 2), height - (height // 2), dtype=dtype) + h_off
-    s = np.arange(-(width // 2), width - (width // 2), dtype=dtype) + w_off
+    # torch.arange(-h // 2, h // 2) uses Python FLOOR division on the lower
+    # bound: -5 // 2 = -3, so odd sizes span [-(h+1)//2, h//2) and the +1.0
+    # offset centers them. (Using -(h // 2) as the lower bound shifted every
+    # odd-sized detector one full pixel off the principal axis.)
+    t = np.arange(-((height + 1) // 2), height // 2, dtype=dtype) + h_off
+    s = np.arange(-((width + 1) // 2), width // 2, dtype=dtype) + w_off
 
     t = -t
     if reverse_x_axis:

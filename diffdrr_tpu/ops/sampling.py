@@ -32,6 +32,14 @@ __all__ = ["sample_volume", "sample_nearest", "sample_trilinear"]
 def _flat_gather(volume: jnp.ndarray, ix, iy, iz, valid) -> jnp.ndarray:
     """Gather volume[ix, iy, iz] with zero fill where ``valid`` is False."""
     d0, d1, d2 = volume.shape
+    if d0 * d1 * d2 >= 2**31:
+        # The flattened index is int32 (JAX default); letting it wrap would
+        # silently gather wrong voxels. Volumes this large belong on the
+        # slab-sharded path (parallel.slab_sharded_*).
+        raise ValueError(
+            f"volume with {d0 * d1 * d2} elements overflows int32 flat "
+            f"indexing; shard it (parallel.slab_sharded_*) or downsample"
+        )
     ix = jnp.clip(ix, 0, d0 - 1)
     iy = jnp.clip(iy, 0, d1 - 1)
     iz = jnp.clip(iz, 0, d2 - 1)

@@ -415,7 +415,8 @@ def rotation_9d_to_matrix(rotation: jnp.ndarray) -> jnp.ndarray:
     Levinson et al. (https://arxiv.org/abs/2006.14616). See
     :func:`special_procrustes` for the numerically stable derivative.
     """
-    m = rotation.reshape((-1, 3, 3))
+    # Preserve leading batch dims (the sibling converters all do).
+    m = rotation.reshape(rotation.shape[:-1] + (3, 3))
     return special_procrustes(m)
 
 

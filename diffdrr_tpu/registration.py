@@ -56,9 +56,17 @@ N_ANGULAR_COMPONENTS = {
 class Registration:
     """Iterative 2D/3D registration via differentiable rendering.
 
-    Mirrors the reference ``Registration`` module (registration.py:14-50): the
-    pose parameters are the optimizable leaves; ``forward``/``__call__``
-    renders at the current pose.
+    Mirrors the reference ``Registration`` module (registration.py:14-50):
+    ``forward``/``__call__`` renders at the current pose, and the pose
+    parameters are exposed as ``.params`` (a ``(rotation, translation)``
+    pair) for optimization.
+
+    Pytree note: ``drr`` is a child too (it must trace through jit), so
+    ``jax.grad`` of a loss w.r.t. the WHOLE object also carries gradients
+    for the DRR's density/geometry leaves — unlike torch, where those are
+    non-parameter buffers. Differentiate w.r.t. ``.params`` (as
+    ``make_registration_step``/``optimize`` do) unless you really mean to
+    update the CT volume.
     """
 
     def __init__(
@@ -105,6 +113,11 @@ class Registration:
     @property
     def translation(self) -> jnp.ndarray:
         return self._translation
+
+    @property
+    def params(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """The optimizable leaves: ``(rotation, translation)``."""
+        return self._rotation, self._translation
 
     def __call__(self, **kwargs):
         return self.drr(self.pose, **kwargs)
@@ -545,21 +558,37 @@ def optimize_multiscale(
             drr_s = drr
             tgt = target_img
         else:
-            # A rescaled detector: fewer, larger pixels over the same plane.
+            # A rescaled detector: fewer, larger pixels over the SAME
+            # physical plane. Pixel pitch derives from the realized coarse
+            # pixel count (h*delx == h_s*delx_s exactly) — deriving it from
+            # the requested scale would change the field of view whenever
+            # h*scale rounds or clamps, geometrically biasing coarse stages.
             from .drr import DRR as _DRR
 
+            h_s = max(8, int(round(drr.detector.height * scale)))
+            w_s = max(8, int(round(drr.detector.width * scale)))
             drr_s = _DRR(
                 drr.subject,
                 sdd=drr.detector.sdd,
-                height=max(8, int(drr.detector.height * scale)),
-                width=max(8, int(drr.detector.width * scale)),
-                delx=drr.detector.delx / scale,
-                dely=drr.detector.dely / scale,
+                height=h_s,
+                width=w_s,
+                delx=drr.detector.delx * drr.detector.height / h_s,
+                dely=drr.detector.dely * drr.detector.width / w_s,
                 x0=drr.detector._x0,
                 y0=drr.detector._y0,
                 renderer=drr.renderer_name,
                 voxel_shift=drr.voxel_shift,
                 reverse_x_axis=drr.detector.reverse_x_axis,
+                # Constructor-consumed options the source DRR popped out of
+                # renderer_kwargs — losing them silently reverted coarse
+                # scales to default precision/storage/remat behavior.
+                patch_size=drr.patch_size,
+                checkpoint_gradients=drr.checkpoint_gradients,
+                precision=drr.pallas_precision,
+                storage=drr.pallas_storage,
+                pallas_fp_scale=drr._fp_scale,
+                **({"pallas_tile": drr._tile_override}
+                   if drr._tile_override is not None else {}),
                 **drr.renderer_kwargs,
             )
             B, C = target_img.shape[:2]

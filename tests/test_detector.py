@@ -39,9 +39,16 @@ def test_canonical_plane_centering():
 def test_odd_sizes_have_center_pixel():
     det = _detector(height=5, width=7, x0=0.0, y0=0.0)
     target = np.asarray(det.calibration(det.target))[0]
-    # An odd-sized detector has a pixel exactly on the principal axis.
+    # An odd-sized detector has a pixel exactly on the principal axis...
     d = np.linalg.norm(target[:, :2], axis=1)
     assert d.min() < 1e-5
+    # ...and the whole plane is CENTERED on it (regression: the arange lower
+    # bound missed torch's floor division, shifting odd detectors one full
+    # pixel off-axis while still containing an on-axis pixel).
+    np.testing.assert_allclose(target[:, :2].mean(axis=0), 0.0, atol=1e-5)
+    # Row coordinates match torch.arange(-h // 2, h // 2) + 1 exactly.
+    rows = np.unique(np.round(target[:, 1] / det.dely, 5))
+    np.testing.assert_allclose(sorted(rows), [-2.0, -1.0, 0.0, 1.0, 2.0])
 
 
 def test_forward_applies_reorient_and_pose():
