@@ -174,3 +174,136 @@ def test_trilinear_density_gradients_match_reference(scene):
 
     g = np.asarray(jax.grad(loss)(jnp.asarray(vol)))
     np.testing.assert_allclose(g, g_ref, atol=5e-4 * np.abs(g_ref).max())
+
+
+# ---------------------------------------------------------------------------
+# Pose + detector parity (the reference modules need fastcore/roma — tiny
+# pure-Python shims below; behavior under test is entirely the reference's).
+# ---------------------------------------------------------------------------
+
+def _install_reference_shims():
+    import types
+
+    if "fastcore.basics" not in sys.modules:
+        fastcore = types.ModuleType("fastcore")
+        basics = types.ModuleType("fastcore.basics")
+
+        def patch(f):
+            ann = f.__annotations__["self"]
+            cls = f.__globals__[ann] if isinstance(ann, str) else ann
+            setattr(cls, f.__name__, f)
+            return f
+
+        basics.patch = patch
+        fastcore.basics = basics
+        sys.modules["fastcore"] = fastcore
+        sys.modules["fastcore.basics"] = basics
+    if "roma" not in sys.modules:
+        import types as _t
+
+        roma = _t.ModuleType("roma")
+
+        def is_orthonormal_matrix(R, epsilon=1e-5):
+            I = torch.eye(3, dtype=R.dtype, device=R.device).expand_as(R)
+            return torch.all(
+                torch.abs(R @ R.transpose(-1, -2) - I) < epsilon)
+
+        roma.is_orthonormal_matrix = is_orthonormal_matrix
+        sys.modules["roma"] = roma
+
+
+_install_reference_shims()
+try:
+    import diffdrr.pose as ref_pose
+    import diffdrr.detector as ref_detector
+except Exception:
+    ref_pose = ref_detector = None
+
+from diffdrr_tpu.pose import convert as our_convert
+
+
+def _param_inputs(param, rng, B=4):
+    if param in ("axis_angle", "euler_angles", "se3_log_map"):
+        rot = rng.normal(0, 0.6, (B, 3))
+    elif param == "quaternion":
+        rot = rng.normal(size=(B, 4))
+        rot /= np.linalg.norm(rot, axis=-1, keepdims=True)
+    elif param == "quaternion_adjugate":
+        from diffdrr_tpu.pose import quaternion_to_quaternion_adjugate
+
+        q = rng.normal(size=(B, 4))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        rot = np.asarray(quaternion_to_quaternion_adjugate(jnp.asarray(q)))
+    elif param == "rotation_6d":
+        rot = rng.normal(size=(B, 6))
+    elif param == "rotation_9d":
+        rot = rng.normal(size=(B, 9)) + np.eye(3).ravel()
+    elif param == "rotation_10d":
+        rot = rng.normal(size=(B, 10)) + np.asarray(
+            [1, 0, 0, 0, 1, 0, 0, 1, 0, 1], np.float64)
+    trans = rng.normal(0, 50.0, (B, 3))
+    return rot.astype(np.float32), trans.astype(np.float32)
+
+
+ALL_PARAMS = [
+    "axis_angle", "euler_angles", "quaternion", "quaternion_adjugate",
+    "rotation_6d", "rotation_9d", "rotation_10d", "se3_log_map",
+]
+
+
+@pytest.mark.skipif(ref_pose is None, reason="reference pose unavailable")
+@pytest.mark.parametrize("param", ALL_PARAMS)
+def test_convert_matches_reference(param):
+    rng = np.random.default_rng(hash(param) % 2**31)
+    rot, trans = _param_inputs(param, rng)
+    conv = "ZXY" if param == "euler_angles" else None
+    T_ref = ref_pose.convert(
+        torch.from_numpy(rot), torch.from_numpy(trans),
+        parameterization=param, convention=conv,
+    ).matrix.numpy()
+    T_our = np.asarray(our_convert(
+        jnp.asarray(rot), jnp.asarray(trans),
+        parameterization=param, convention=conv,
+    ).matrix)
+    np.testing.assert_allclose(T_our, T_ref, atol=2e-4)
+
+
+@pytest.mark.skipif(ref_pose is None, reason="reference pose unavailable")
+@pytest.mark.parametrize("param", ALL_PARAMS)
+def test_inverse_convert_matches_reference(param):
+    """matrix -> parameterization direction (RigidTransform.convert)."""
+    rng = np.random.default_rng(7)
+    rot, trans = _param_inputs("axis_angle", rng)
+    conv = "ZXY" if param == "euler_angles" else None
+    T_ref = ref_pose.convert(
+        torch.from_numpy(rot), torch.from_numpy(trans),
+        parameterization="axis_angle",
+    )
+    T_our = our_convert(jnp.asarray(rot), jnp.asarray(trans),
+                        parameterization="axis_angle")
+    kw = dict(convention=conv) if conv else {}
+    r_ref, t_ref = T_ref.convert(param, **kw)
+    r_our, t_our = T_our.convert(param, **kw)
+    np.testing.assert_allclose(np.asarray(t_our), t_ref.numpy(), atol=2e-3)
+    if param in ("quaternion", "quaternion_adjugate"):
+        # Double cover: q and -q are the same rotation.
+        a, b = np.asarray(r_our), r_ref.numpy()
+        sign = np.sign(np.sum(a * b, axis=-1, keepdims=True))
+        np.testing.assert_allclose(a * sign, b, atol=2e-3)
+    else:
+        np.testing.assert_allclose(np.asarray(r_our), r_ref.numpy(),
+                                   atol=2e-3)
+
+
+@pytest.mark.skipif(ref_detector is None,
+                    reason="reference detector unavailable")
+@pytest.mark.parametrize("hw", [(4, 6), (5, 7), (16, 16), (9, 16)])
+@pytest.mark.parametrize("rx", [True, False])
+def test_detector_plane_matches_reference(hw, rx):
+    from diffdrr_tpu.detector import _canonical_plane
+
+    h, w = hw
+    det = ref_detector.Detector(
+        1020.0, h, w, 2.0, 3.0, 0.0, 0.0, None, reverse_x_axis=rx)
+    _, tgt = _canonical_plane(h, w, rx)
+    np.testing.assert_allclose(tgt[0], det.target[0].numpy(), atol=1e-6)
