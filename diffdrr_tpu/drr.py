@@ -396,6 +396,10 @@ class DRR:
         call outside jit.
         """
         source, target = self.detector(pose, None)
+        if self.detector.n_subsample is not None:
+            # The kernels always render the FULL plane; probing only the
+            # sampled subset would understate the worst ray.
+            target = self.detector.full_plane_target(pose, None)
         sv = self.affine_inverse(source)
         tv = self.affine_inverse(target)
         d = np.abs(np.asarray(tv - sv))  # (B, N, 3)
@@ -814,17 +818,27 @@ class DRR:
             axis = opts.pop("axis", None)
             step = opts.pop("step", None)
             if axis is None:
+                # Auto axis from the FULL ray bundle, then render through the
+                # common path below so patch_size chunking still applies
+                # (an early return here used to bypass the patch loop).
                 d = jnp.mean(target - source, axis=(0, 1))
                 idx = jnp.argmax(jnp.abs(d))
-                return jax.lax.switch(
-                    idx,
-                    [partial(renderer, axis=a,
-                             step=step if step is not None else self.joseph_steps[a],
-                             **opts) for a in range(3)],
-                    density, source, target, weights,
-                )
-            opts["axis"] = axis
-            opts["step"] = step if step is not None else self.joseph_steps[axis]
+                base = renderer
+
+                def renderer(density, source, t, w, **o):
+                    return jax.lax.switch(
+                        idx,
+                        [partial(
+                            base, axis=a,
+                            step=(step if step is not None
+                                  else self.joseph_steps[a]),
+                            **o) for a in range(3)],
+                        density, source, t, w,
+                    )
+            else:
+                opts["axis"] = axis
+                opts["step"] = (step if step is not None
+                                else self.joseph_steps[axis])
         if self.patch_size is None:
             return renderer(density, source, target, weights, **opts)
 
@@ -939,8 +953,8 @@ def reshape_subsampled_drr(
 ) -> jnp.ndarray:
     """Scatter sparse rays back into a full image (reference: drr.py:142-147)."""
     n_points = detector.height * detector.width
-    drr = jnp.zeros((batch_size, n_points), img.dtype)
+    C = img.shape[1]  # 1, or n_channels under mask_to_channels
+    drr = jnp.zeros((batch_size, C, n_points), img.dtype)
     idx = jnp.asarray(detector.subsamples[-1], jnp.int32)
-    flat = img.reshape(batch_size, -1)
-    drr = drr.at[:, idx].set(flat)
-    return drr.reshape(batch_size, 1, detector.height, detector.width)
+    drr = drr.at[:, :, idx].set(img.reshape(batch_size, C, -1))
+    return drr.reshape(batch_size, C, detector.height, detector.width)

@@ -152,10 +152,11 @@ def slab_sharded_raycast(
     """Trilinear raycast with the volume sharded in slabs along its x-axis.
 
     For volumes too large to replicate per-chip: device ``i`` holds slab
-    ``[i*S : (i+1)*S)``, samples every ray point that lands in its slab (zero
-    outside — trilinear corners crossing the boundary are handled by a
-    one-voxel halo), and a single ``psum`` over the mesh axis assembles the
-    full integrals. Communication: one (B, 1, N) image reduce per render.
+    ``[i*S : (i+1)*S)`` and evaluates only the x-corner ROW terms its slab
+    owns — trilinear interpolation splits exactly into two row terms, each
+    entirely local to one slab, so NO halo exchange is needed; a single
+    ``psum`` over the mesh axis assembles the full integrals.
+    Communication: one (B, 1, N) image reduce per render.
     """
     n_dev = mesh.shape[axis]
     X = volume.shape[0]
@@ -172,7 +173,7 @@ def slab_sharded_raycast(
     amin, amax = alpha_minmax(source, target, volume.shape, voxel_shift, eps)
     alphamin = jnp.min(amin)
     alphamax = jnp.max(amax)
-    step = (alphamax - alphamin) / (n_points - 1)
+    step = (alphamax - alphamin) / max(n_points - 1, 1)  # match the oracle
 
     def local(volume_slab, source, target, weights):
         # Trilinear interpolation splits exactly into its two x-corner row

@@ -15,10 +15,8 @@ Usage:
 from __future__ import annotations
 
 import csv
-import time
-from pathlib import Path
-
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -90,6 +88,17 @@ def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
 
         drots = rng.normal(0, 0.06, (n_runs, 3)).astype(np.float32)
         dtranss = rng.normal(0, 12.0, (n_runs, 3)).astype(np.float32)
+        # One discarded same-shape warm-up so the echoed pose-iters/s is the
+        # steady-state rate, not the jit/Pallas compile time (CLAUDE.md
+        # timing doctrine; remote kernel compiles take 20-90 s). The timed
+        # run below perturbs the inits so the tunnel's identical-dispatch
+        # cache cannot serve it.
+        optimize_multistart(
+            drr, target, rot_true + drots + 1e-3, trans_true + dtranss,
+            "euler_angles", "ZXY", n_iters=n_iters, metric=metric,
+            optimizer=optimizer, momentum=momentum, dampening=dampening,
+            lr_rotation=lr_rotation, lr_translation=lr_translation,
+        )
         t0 = time.perf_counter()
         rots, transs, scores, trace = optimize_multistart(
             drr, target, rot_true + drots, trans_true + dtranss,

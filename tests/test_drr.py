@@ -391,3 +391,50 @@ def test_diagnose_pose_subsampled_matches_full(subject):
     assert d_sub["footprint_fits"] == d_full["footprint_fits"]
     np.testing.assert_allclose(d_sub["worst_ratio"], d_full["worst_ratio"],
                                rtol=1e-6)
+
+
+def test_subsample_with_mask_channels(subject, pose_args):
+    """p_subsample x mask_to_channels: the sparse scatter-reshape must keep
+    every channel (regression: it assumed C=1 and crashed on shape)."""
+    drr = DRR(subject, sdd=800.0, height=16, delx=4.0, p_subsample=0.5,
+              renderer="trilinear")
+    img = _render(drr, pose_args, mask_to_channels=True, n_points=64)
+    C = drr.n_channels
+    assert C > 1
+    assert img.shape == (1, C, 16, 16)
+    full = DRR(subject, sdd=800.0, height=16, delx=4.0, renderer="trilinear")
+    ref = _render(full, pose_args, mask_to_channels=True, n_points=64)
+    # Sampled pixels agree with the dense render; unsampled are zero.
+    sampled = np.zeros(256, bool)
+    sampled[np.asarray(drr.detector.subsamples[-1])] = True
+    got = np.asarray(img).reshape(1, C, 256)
+    want = np.asarray(ref).reshape(1, C, 256)
+    np.testing.assert_allclose(got[..., sampled], want[..., sampled],
+                               rtol=1e-4, atol=1e-5)
+    assert np.all(got[..., ~sampled] == 0)
+
+
+def test_joseph_patch_size_auto_axis(subject, pose_args):
+    """patch_size must chunk the joseph XLA path under AUTO axis selection
+    too (regression: the lax.switch early return bypassed the patch loop
+    and the patched/unpatched results came from different code paths)."""
+    drr_p = DRR(subject, sdd=800.0, height=16, delx=4.0, renderer="joseph",
+                patch_size=8)
+    drr_f = DRR(subject, sdd=800.0, height=16, delx=4.0, renderer="joseph")
+    got = _render(drr_p, pose_args)
+    ref = _render(drr_f, pose_args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ray_compatibility_subsampled_matches_full(subject):
+    rot = jnp.array([[0.3, np.pi / 2 + 0.2, -0.1]], jnp.float32)
+    trans = jnp.array([[5.0, 390.0, -8.0]], jnp.float32)
+    pose = convert(rot, trans, parameterization="euler_angles",
+                   convention="ZXY")
+    full = DRR(subject, sdd=800.0, height=16, delx=4.0)
+    sub = DRR(subject, sdd=800.0, height=16, delx=4.0, p_subsample=0.3)
+    bf, rf = full.pallas_ray_compatibility(pose)
+    bs, rs = sub.pallas_ray_compatibility(pose)
+    assert bf == bs
+    np.testing.assert_allclose(rs, rf, rtol=1e-6)

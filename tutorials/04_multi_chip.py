@@ -74,7 +74,8 @@ ref = np.asarray(
 # image's pixels over `rays`. `make_sharded_render` returns a jitted render
 # with the right shardings; XLA inserts the collectives.
 # ---------------------------------------------------------------------------
-mesh = make_mesh((2, n_dev // 2), ("data", "rays"))
+data_dim = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
+mesh = make_mesh((data_dim, n_dev // data_dim), ("data", "rays"))
 print("mesh:", dict(zip(mesh.axis_names, mesh.devices.shape)))
 
 render = make_sharded_render(
