@@ -42,3 +42,20 @@ def test_bench_smoke_emits_full_metric_set():
     assert set(out["extra"]) == EXPECTED_METRICS
     for name, m in out["extra"].items():
         assert m.get("ms", m.get("ms_per_iter")) > 0, name
+
+
+def test_api_docs_generator_covers_public_surface():
+    """docs/API.md generator runs and includes the key public symbols."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import gen_api_docs
+
+    text = gen_api_docs.render()
+    for sym in ["class DRR", "class Detector", "class RigidTransform",
+                "def convert", "def siddon_raycast", "def trilinear_raycast",
+                "def joseph_pallas_raycast", "def slab_sharded_siddon",
+                "class CheckpointManager", "def drr_to_mesh",
+                "class Registration", "def optimize_multistart"]:
+        assert sym in text, f"missing from API docs: {sym}"
