@@ -552,6 +552,10 @@ class DRR:
                 and not opts.get("align_corners", False)
             )
         if self.renderer_name == "trilinear":
+            # reducefn="max" stays on the XLA oracle: the kernel's
+            # plane-aligned samples carry different per-ray quadrature
+            # weights than the oracle's global equispaced step, so their
+            # weighted maxima differ (sums converge, maxima don't).
             return (
                 opts.get("mode", "trilinear") == "trilinear"
                 and opts.get("reducefn", "sum") == "sum"
@@ -560,7 +564,9 @@ class DRR:
                 and opts.get("alphamax") is None
             )
         if self.renderer_name == "joseph":
-            return opts.get("reducefn", "sum") == "sum"
+            # "max" (MIP) runs the kernel forward; its backward routes
+            # through the XLA oracle's VJP (ops/pallas/joseph.py).
+            return opts.get("reducefn", "sum") in ("sum", "max")
         return False
 
     def render(
@@ -621,6 +627,7 @@ class DRR:
             n_points = opts.pop("n_points", 500)
             allow_oversample = opts.pop("allow_oversample", False)
             resident = opts.pop("resident", None)
+            reducefn = opts.pop("reducefn", "sum")
             # Use the cached prepped volume only for the stored density (the
             # reconstruction seam passes a free variable — never cached).
             # Identity fails under jax.checkpoint (the arg is re-traced);
@@ -646,13 +653,14 @@ class DRR:
 
                     ax_step = step if step is not None else self.joseph_steps[ax]
                     return partial(joseph_pallas_raycast, axis=ax,
-                                   step=ax_step, **common)
+                                   step=ax_step, reducefn=reducefn, **common)
                 if self.renderer_name == "trilinear":
                     from .ops.pallas.raymarch import raymarch_pallas_raycast
 
                     return partial(raymarch_pallas_raycast, axis=ax,
                                    n_points=n_points,
-                                   allow_oversample=allow_oversample, **common)
+                                   allow_oversample=allow_oversample,
+                                   reducefn=reducefn, **common)
                 from .ops.pallas.siddon import siddon_pallas_raycast
 
                 return partial(siddon_pallas_raycast, axis=ax, **common)

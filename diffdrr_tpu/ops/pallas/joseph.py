@@ -326,6 +326,7 @@ def _channel_select(lab, n_ch_pad, tr):
 
 def _fwd_kernel(
     *refs, h, ky, zw, zc, precision, blend, n_ch=None, resident=False,
+    reduce="sum",
 ):
     if n_ch is None:
         (starts_ref, rays_ref, vol_ref, out_ref,
@@ -369,7 +370,14 @@ def _fwd_kernel(
         t1 = _dot(win, wz, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
         contrib = jnp.sum(t1 * wy, axis=0, keepdims=True)  # (1, TR)
         if n_ch is None:
-            acc_ref[...] += contrib
+            if reduce == "max":
+                # Maximum intensity projection: matches the XLA oracle's
+                # reduce over per-plane contributions (out-of-slab planes
+                # contribute 0 there too, so the 0 init agrees whenever any
+                # sample is out-of-slab or the density is nonnegative).
+                acc_ref[...] = jnp.maximum(acc_ref[...], contrib)
+            else:
+                acc_ref[...] += contrib
         else:
             lab = _sample_labels(lab_fetch(slot, p), p, h, n_src, blend,
                                  starts_ref, iota_y, iota_z, ry, rz, zc,
@@ -926,10 +934,11 @@ def _vmem_params(resident, *arrs):
 
 
 def _fwd_call(vol, rays_tiled, starts, lab, *, n_tiles, TR, n_planes,
-              h, ky, zw, zc, precision, blend, n_ch, resident, interpret):
+              h, ky, zw, zc, precision, blend, n_ch, resident, interpret,
+              reduce="sum"):
     kernel = functools.partial(
         _fwd_kernel, h=h, ky=ky, zw=zw, zc=zc, precision=precision,
-        blend=blend, n_ch=n_ch, resident=resident,
+        blend=blend, n_ch=n_ch, resident=resident, reduce=reduce,
     )
     rows = 1 if n_ch is None else -(-n_ch // 8) * 8
     lab_in = [] if n_ch is None else [pl.BlockSpec(memory_space=pl.ANY)]
@@ -1098,7 +1107,7 @@ def _tile_permutes(perm, B, N, TR, n_tiles_img, n_ch=None):
 @functools.lru_cache(maxsize=64)
 def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
                  ky, zw, zc, precision, storage, interpret,
-                 use_prepped=False, n_ch=None, resident=False):
+                 use_prepped=False, n_ch=None, resident=False, reduce="sum"):
     """Build the custom-VJP render function for one static configuration.
 
     ``h`` is the (possibly fractional) marching stride in planes; sampling
@@ -1151,7 +1160,7 @@ def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
     def run_fwd(vol, lab, rays_tiled, starts, B, N):
         n_tiles = rays_tiled.shape[1] // TR
         out = _fwd_call(vol, rays_tiled, starts, lab,
-                        n_tiles=n_tiles, **kw)
+                        n_tiles=n_tiles, reduce=reduce, **kw)
         untile, _ = _tile_permutes(perm, B, N, TR, n_tiles_img, n_ch)
         return untile(out)
 
@@ -1167,11 +1176,38 @@ def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
         vol, lab, rays_tiled, starts = prepare(
             volume, source, target, weights, prepped, mask)
         out = run_fwd(vol, lab, rays_tiled, starts, B, N)
+        if reduce == "max":
+            # Max backward routes through the XLA oracle's VJP (see
+            # render_bwd): keep the raw inputs instead of the prepped forms.
+            return out, (volume, source, target, weights, vol, mask)
         # The prepared arrays ride as residuals: backward never re-runs the
         # window-start precompute or the volume transpose.
         return out, (vol, lab, rays_tiled, starts, source, target, weights)
 
     def render_bwd(res, g):
+        if reduce == "max":
+            # MIP gradients flow through the argmax plane only; rather than
+            # teaching the three analytic-VJP kernels argmax recomputation,
+            # backward differentiates the XLA oracle (identical quadrature).
+            # MIP is overwhelmingly a forward/visualization workload — the
+            # kernel still serves the hot forward path.
+            from ..joseph import joseph_raycast
+
+            volume, source, target, weights, vol, mask = res
+            _, vjp = jax.vjp(
+                lambda v, s, t, w: joseph_raycast(
+                    v, s, t, w, axis=axis, step=h, n_steps=n_steps,
+                    voxel_shift=voxel_shift, reducefn="max", eps=eps,
+                ),
+                volume, source, target, weights,
+            )
+            d_vol, d_source, d_target, d_weights = vjp(g)
+            d_prepped = (jnp.zeros_like(vol) if use_prepped
+                         else jnp.zeros((0,), jnp.float32))
+            d_mask = (jnp.zeros(dims, jnp.float32) if n_ch is not None
+                      else jnp.zeros((0,), jnp.float32))
+            return (d_vol, d_source, d_target, d_weights, d_prepped, d_mask)
+
         vol, lab, rays_tiled, starts, source, target, weights = res
         B, N, _ = target.shape
         n_tiles = rays_tiled.shape[1] // TR
@@ -1229,6 +1265,7 @@ def joseph_pallas_raycast(
     mask: Optional[jnp.ndarray] = None,
     n_channels: Optional[int] = None,
     resident: Optional[bool] = None,
+    reducefn: str = "sum",
 ) -> jnp.ndarray:
     """Joseph plane-march render via Pallas TPU kernels, fwd + analytic bwd.
 
@@ -1269,13 +1306,20 @@ def joseph_pallas_raycast(
         n_steps = int(-(-volume.shape[axis] // h))
     use_prepped = prepped_vol is not None
     n_ch = int(n_channels) if mask is not None else None
+    if reducefn not in ("sum", "max"):
+        raise ValueError(
+            f"kernel path supports reducefn 'sum'/'max', got {reducefn!r}; "
+            f"use the XLA renderer for custom reductions")
+    if n_ch is not None:
+        reducefn = "sum"  # channel renders always scatter-sum (reference
+        #                   ignores reducefn when a mask is given)
     blend = abs(h - round(h)) > 1e-9
     resident = _resolve_resident(resident, volume, axis, ky, zw, blend,
                                  storage, mask, prepped_vol)
     fn = _make_joseph(
         volume.shape, tuple(image_shape), axis, h, int(n_steps), voxel_shift,
         eps, tile, ky, zw, zc, precision, storage, interpret, use_prepped,
-        n_ch, resident,
+        n_ch, resident, reducefn,
     )
     prepped = prepped_vol if use_prepped else jnp.zeros((0,), jnp.float32)
     lab = mask if mask is not None else jnp.zeros((0,), jnp.float32)

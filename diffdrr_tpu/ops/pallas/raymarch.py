@@ -62,6 +62,7 @@ def raymarch_pallas_raycast(
     mask: Optional[jnp.ndarray] = None,
     n_channels: Optional[int] = None,
     resident: Optional[bool] = None,
+    reducefn: str = "sum",
 ) -> jnp.ndarray:
     """Trilinear ray-march render via Pallas plane-lerp kernels.
 
@@ -87,13 +88,18 @@ def raymarch_pallas_raycast(
     h = (X - 1) / (n_steps - 1)
     use_prepped = prepped_vol is not None
     n_ch = int(n_channels) if mask is not None else None
+    if reducefn not in ("sum", "max"):
+        raise ValueError(
+            f"kernel path supports reducefn 'sum'/'max', got {reducefn!r}")
+    if n_ch is not None:
+        reducefn = "sum"  # channel renders always scatter-sum
     blend = abs(h - round(h)) > 1e-9
     resident = _resolve_resident(resident, volume, axis, ky, zw, blend,
                                  storage, mask, prepped_vol)
     fn = _make_joseph(
         volume.shape, tuple(image_shape), axis, float(h), n_steps,
         voxel_shift, eps, tile, ky, zw, zc, precision, storage, interpret,
-        use_prepped, n_ch, resident,
+        use_prepped, n_ch, resident, reducefn,
     )
     prepped = prepped_vol if use_prepped else jnp.zeros((0,), jnp.float32)
     lab = mask if mask is not None else jnp.zeros((0,), jnp.float32)
