@@ -546,9 +546,12 @@ class DRR:
             # exact Siddon with channels stays on the XLA oracle.
             return False
         if self.renderer_name == "siddon":
+            # "max" (MIP) runs the kernel forward (per-segment maxima,
+            # same semantics as the sorted oracle); backward routes through
+            # the oracle's VJP.
             return (
                 opts.get("mode", "nearest") == "nearest"
-                and opts.get("reducefn", "sum") == "sum"
+                and opts.get("reducefn", "sum") in ("sum", "max")
                 and not opts.get("align_corners", False)
             )
         if self.renderer_name == "trilinear":
@@ -663,7 +666,8 @@ class DRR:
                                    reducefn=reducefn, **common)
                 from .ops.pallas.siddon import siddon_pallas_raycast
 
-                return partial(siddon_pallas_raycast, axis=ax, **common)
+                return partial(siddon_pallas_raycast, axis=ax,
+                               reducefn=reducefn, **common)
 
             slab_guard = opts.pop("slab_guard", True)
             guarded = self.renderer_name == "siddon" and slab_guard

@@ -178,7 +178,7 @@ def _corner_values(win, wz, ey2, eyr, precision):
 
 def _fwd_kernel(
     starts_ref, rays_ref, vol_ref, out_ref, win_buf, acc_ref, sems,
-    *, ky, zw, zc, precision, resident=False,
+    *, ky, zw, zc, precision, resident=False, reduce="sum",
 ):
     tr = rays_ref.shape[1]
     r = _ray_rows(rays_ref)
@@ -198,15 +198,28 @@ def _fwd_kernel(
         slot = jax.lax.rem(s - lo, 2)
         win_prefetch(jax.lax.rem(s + 1 - lo, 2), s + 1, hi)
 
-        C, ry0, rz0, _ = _slab_segments(r, s, starts_ref)
+        C, ry0, rz0, aux = _slab_segments(r, s, starts_ref)
         wz, ey2, eyr = _paired_onehots(iota_y2, iota_z2, ry0, rz0)
 
         win = _roll_window(win_fetch(slot, s)[0], starts_ref[0, s, 2], zc)
 
         v00, v01, v10, v11 = _corner_values(win, wz, ey2, eyr, precision)
-        acc_ref[...] += (
-            C[0][0] * v00 + C[1][0] * v10 + C[0][1] * v01 + C[1][1] * v11
-        )
+        if reduce == "max":
+            # MIP: max over the reference's per-segment contributions
+            # (length x ray-weight x nearest voxel value). The oracle's sort
+            # always carries zero-length boundary entries, so the 0 init
+            # agrees with it.
+            w = r["sc"]
+            cand = jnp.zeros_like(acc_ref[...])
+            for (iy, iz), length in zip(aux["seg_sel"], aux["lens"]):
+                v_seg = (v00 * (1 - iy) * (1 - iz) + v10 * iy * (1 - iz)
+                         + v01 * (1 - iy) * iz + v11 * iy * iz)
+                cand = jnp.maximum(cand, length * w * v_seg)
+            acc_ref[...] = jnp.maximum(acc_ref[...], cand)
+        else:
+            acc_ref[...] += (
+                C[0][0] * v00 + C[1][0] * v10 + C[0][1] * v01 + C[1][1] * v11
+            )
         return ()
 
     jax.lax.fori_loop(lo, hi, body, (), unroll=False)
@@ -427,7 +440,7 @@ def _bwd_vol_kernel(
 @functools.lru_cache(maxsize=64)
 def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
                  precision, storage, interpret, use_prepped=False,
-                 resident=False):
+                 resident=False, reduce="sum"):
     H, W = image_shape
     other = tuple(d for d in range(3) if d != axis)
     perm3 = (axis,) + other
@@ -459,7 +472,7 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
     def run_fwd(vol, rays_tiled, starts, B, N):
         n_tiles = rays_tiled.shape[1] // TR
         kernel = functools.partial(_fwd_kernel, resident=resident,
-                                   **kw_static)
+                                   reduce=reduce, **kw_static)
         out = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
@@ -492,9 +505,32 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
         vol, rays_tiled, starts = prepare(
             volume, source, target, weights, prepped)
         out = run_fwd(vol, rays_tiled, starts, B, N)
+        if reduce == "max":
+            # Max backward routes through the XLA oracle's VJP.
+            return out, (volume, source, target, weights, vol)
         return out, (vol, rays_tiled, starts, source, target, weights)
 
     def render_bwd(res, gc):
+        if reduce == "max":
+            # MIP gradients flow through the argmax segment only; backward
+            # differentiates the sort-based XLA oracle instead of teaching
+            # the analytic kernels argmax recomputation (MIP is a
+            # forward/visualization workload).
+            from ..siddon import siddon_raycast
+
+            volume, source, target, weights, vol = res
+            _, vjp = jax.vjp(
+                lambda v, s, t, w: siddon_raycast(
+                    v, s, t, w, voxel_shift=voxel_shift, reducefn="max",
+                    eps=eps,
+                ),
+                volume, source, target, weights,
+            )
+            d_vol, d_source, d_target, d_weights = vjp(gc)
+            d_prepped = (jnp.zeros_like(vol) if use_prepped
+                         else jnp.zeros((0,), jnp.float32))
+            return d_vol, d_source, d_target, d_weights, d_prepped
+
         vol, rays_tiled, starts, source, target, weights = res
         B, N, _ = target.shape
         n_tiles = rays_tiled.shape[1] // TR
@@ -584,6 +620,7 @@ def siddon_pallas_raycast(
     interpret: bool = False,
     prepped_vol: Optional[jnp.ndarray] = None,
     resident: Optional[bool] = None,
+    reducefn: str = "sum",
 ) -> jnp.ndarray:
     """Exact Siddon render via Pallas slab-march kernels, fwd + analytic bwd.
 
@@ -603,9 +640,13 @@ def siddon_pallas_raycast(
     use_prepped = prepped_vol is not None
     resident = _resolve_resident(resident, volume, axis, ky, zw, False,
                                  storage, None, prepped_vol)
+    if reducefn not in ("sum", "max"):
+        raise ValueError(
+            f"kernel path supports reducefn 'sum'/'max', got {reducefn!r}")
     fn = _make_siddon(
         volume.shape, tuple(image_shape), axis, voxel_shift, eps, tile, ky,
         zw, zc, precision, storage, interpret, use_prepped, resident,
+        reducefn,
     )
     prepped = prepped_vol if use_prepped else jnp.zeros((0,), jnp.float32)
     return fn(volume, source, target, weights, prepped)
