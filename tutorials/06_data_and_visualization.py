@@ -75,6 +75,15 @@ np.testing.assert_allclose(
 )
 print("per-structure channels sum to the full DRR: OK")
 
+# Maximum-intensity projection (reducefn="max"): the radiologist's MIP view
+# instead of the line integral. On TPU this stays on the Pallas kernel path
+# for joseph/siddon renderers.
+mip = drr(rot, trans, parameterization="euler_angles", convention="ZXY",
+          reducefn="max")
+assert mip.shape == total.shape
+assert float(jnp.max(mip)) <= float(jnp.max(total))
+print("MIP render (reducefn='max'): OK")
+
 # ---------------------------------------------------------------------------
 # 3. Meshes. Extract bone surfaces with either mesher and export OBJ:
 # Surface Nets (smoothed, quad-dominant) or marching cubes (edge-exact).
