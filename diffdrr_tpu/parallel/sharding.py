@@ -312,11 +312,14 @@ def slab_sharded_joseph(
 
     spec = [None, None, None]
     spec[march_axis] = axis
+    # Pallas calls inside shard_map predate the varying-mesh-axes (vma)
+    # annotation; disable the check on that path.
     return shard_map(
         local,
         mesh=mesh,
         in_specs=(P(*spec), P(), P(), P()),
         out_specs=P(),
+        check_vma=not use_pallas,
     )(volume, source, target, weights)
 
 
@@ -387,11 +390,14 @@ def slab_sharded_siddon(
 
     spec = [None, None, None]
     spec[slab_axis] = axis
+    # Pallas calls inside shard_map predate the varying-mesh-axes (vma)
+    # annotation; disable the check on that path.
     return shard_map(
         local,
         mesh=mesh,
         in_specs=(P(*spec), P(), P(), P()),
         out_specs=P(),
+        check_vma=not use_pallas,
     )(volume, source, target, weights)
 
 
