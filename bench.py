@@ -115,6 +115,13 @@ def main(smoke=False):
 
     if smoke:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # Persist compiled kernels across bench runs: repeat benches skip
+        # the 20-90 s remote Pallas compiles (no effect on the timed
+        # numbers — the methodology warms up before timing anyway).
+        from diffdrr_tpu.profiling import enable_compilation_cache
+
+        enable_compilation_cache()
 
     import jax.numpy as jnp
     from functools import partial

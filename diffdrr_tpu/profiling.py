@@ -31,7 +31,8 @@ import numpy as np
 
 import jax
 
-__all__ = ["trace", "annotate", "render_cost", "RenderCost"]
+__all__ = ["trace", "annotate", "render_cost", "RenderCost",
+           "enable_compilation_cache"]
 
 
 @contextlib.contextmanager
@@ -123,3 +124,29 @@ def render_cost(drr, axis: Optional[int] = None) -> RenderCost:
         window=(ky, zw, zc), n_tiles=n_tiles, n_steps=n_steps,
         mxu_flops=float(mxu), dma_bytes=dma, rays=H * W,
     )
+
+
+def enable_compilation_cache(directory: Optional[str] = None,
+                             min_compile_secs: float = 1.0) -> str:
+    """Persist compiled XLA executables across processes.
+
+    Pallas kernel compiles go through a remote compile server and can take
+    20-90 s each (CLAUDE.md); the persistent cache lets every process that
+    compiles the same (shapes, config) reuse the executable — registration
+    CLIs, tools/sweep_tile.py subprocesses, and bench.py all benefit on
+    repeat runs. Call BEFORE the first jit of interest. Returns the cache
+    directory. Safe to call on backends that cannot serialize executables
+    (entries are simply not written).
+    """
+    import os
+
+    import jax
+
+    if directory is None:
+        directory = os.path.join(
+            os.path.expanduser("~"), ".cache", "diffdrr_tpu", "xla_cache")
+    os.makedirs(directory, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", directory)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
+    return directory

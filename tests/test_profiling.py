@@ -46,3 +46,16 @@ def test_render_cost_report():
     # (same window if the planner chose the same tile).
     if rc_s.tile == rc.tile and rc_s.window == rc.window:
         assert rc_s.mxu_flops == 2 * rc.mxu_flops
+
+
+def test_enable_compilation_cache(tmp_path):
+    import glob
+    import jax
+    import jax.numpy as jnp
+
+    from diffdrr_tpu.profiling import enable_compilation_cache
+
+    d = enable_compilation_cache(str(tmp_path / "cache"), min_compile_secs=0.0)
+    f = jax.jit(lambda x: (x @ x).sum() * 3)
+    f(jnp.ones((32, 32))).block_until_ready()
+    assert len(glob.glob(d + "/*")) >= 1

@@ -6,6 +6,11 @@ import jax, jax.numpy as jnp
 from functools import partial
 
 from diffdrr_tpu import DRR, load_example_ct
+from diffdrr_tpu.profiling import enable_compilation_cache
+
+# Each config runs in its own subprocess (perf isolation); the persistent
+# cache lets re-runs of a config skip its remote Pallas compiles.
+enable_compilation_cache()
 
 subject = load_example_ct(shape=(512, 512, 133))
 trans = jnp.asarray([[0.0, 850.0, 0.0]], jnp.float32)
