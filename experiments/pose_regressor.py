@@ -32,7 +32,11 @@ from diffdrr_tpu.registration import PoseRegressor
 @click.option("--volume-size", default=96)
 @click.option("--parameterization", default="rotation_6d")
 @click.option("--lr", default=3e-4)
-def main(cpu, n_steps, batch_size, height, volume_size, parameterization, lr):
+@click.option("--ckpt-dir", default=None,
+              help="Checkpoint directory; resumes from the latest step")
+@click.option("--ckpt-every", default=50)
+def main(cpu, n_steps, batch_size, height, volume_size, parameterization, lr,
+         ckpt_dir, ckpt_every):
     if cpu:
         jax.config.update("jax_platforms", "cpu")
     subject = load_example_ct(
@@ -85,16 +89,37 @@ def main(cpu, n_steps, batch_size, height, volume_size, parameterization, lr):
     def step(params, opt_state, key):
         return step_inner(drr, params, opt_state, key)
 
+    mgr = None
+    start = 0
     key = jax.random.PRNGKey(1)
+    if ckpt_dir is not None:
+        from diffdrr_tpu.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir, max_to_keep=2)
+        resumed = mgr.latest(like={"params": params, "opt_state": opt_state,
+                                   "key": key})
+        if resumed is not None:
+            start, state = resumed
+            params, opt_state, key = (state["params"], state["opt_state"],
+                                      state["key"])
+            click.echo(f"resumed from step {start} in {ckpt_dir}")
+
     t0 = time.perf_counter()
-    for it in range(n_steps):
+    for it in range(start, n_steps):
         key, sub = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, sub)
         if it % 20 == 0 or it == n_steps - 1:
             click.echo(f"step {it:4d}  loss {float(loss):.4f}")
+        if mgr is not None:
+            mgr.maybe_save(it + 1, {"params": params, "opt_state": opt_state,
+                                    "key": key}, every=ckpt_every)
+    if mgr is not None:
+        mgr.wait()
+        mgr.close()
+    ran = max(1, n_steps - start)
     click.echo(
         f"done in {time.perf_counter() - t0:.1f} s "
-        f"({n_steps / (time.perf_counter() - t0):.2f} steps/s)"
+        f"({ran / (time.perf_counter() - t0):.2f} steps/s)"
     )
 
 
