@@ -39,6 +39,10 @@ def main(cpu, n_steps, batch_size, height, volume_size, parameterization, lr,
          ckpt_dir, ckpt_every):
     if cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from diffdrr_tpu.profiling import enable_compilation_cache
+
+        enable_compilation_cache()  # reuse remote Pallas compiles across runs
     subject = load_example_ct(
         shape=(volume_size, volume_size, max(16, volume_size // 4))
     )

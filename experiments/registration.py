@@ -57,6 +57,10 @@ def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
     if cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from diffdrr_tpu.profiling import enable_compilation_cache
+
+        enable_compilation_cache()  # reuse remote Pallas compiles across runs
     subject = load_example_ct(
         shape=(volume_size, volume_size, max(16, volume_size // 4))
     )
