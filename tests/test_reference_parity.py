@@ -218,6 +218,7 @@ try:
     import diffdrr.detector as ref_detector
 except Exception:
     ref_pose = ref_detector = None
+ref_pose_mod = ref_pose
 
 from diffdrr_tpu.pose import convert as our_convert
 
@@ -307,3 +308,58 @@ def test_detector_plane_matches_reference(hw, rx):
         1020.0, h, w, 2.0, 3.0, 0.0, 0.0, None, reverse_x_axis=rx)
     _, tgt = _canonical_plane(h, w, rx)
     np.testing.assert_allclose(tgt[0], det.target[0].numpy(), atol=1e-6)
+
+
+@pytest.mark.skipif(ref_detector is None,
+                    reason="reference detector unavailable")
+def test_detector_forward_fuzz_matches_reference():
+    """Randomized end-to-end geometry fuzz: Detector.forward (calibration x
+    reorient x pose) against the reference for random intrinsics — odd and
+    even sizes, principal points, anisotropic pixels, both x conventions.
+    (The odd-size centering bug survived a round because nothing compared
+    full detector OUTPUT against the reference.)"""
+    from diffdrr_tpu.detector import Detector as OurDetector
+
+    rng = np.random.default_rng(11)
+    reorients = {
+        "AP": np.array([[1, 0, 0, 0], [0, 0, -1, 0], [0, 1, 0, 0],
+                        [0, 0, 0, 1]], np.float32),
+        "none": np.eye(4, dtype=np.float32),
+    }
+    for trial in range(8):
+        h = int(rng.integers(3, 24))
+        w = int(rng.integers(3, 24))
+        sdd = float(rng.uniform(200.0, 1500.0))
+        delx = float(rng.uniform(0.5, 6.0))
+        dely = float(rng.uniform(0.5, 6.0))
+        x0 = float(rng.uniform(-8.0, 8.0))
+        y0 = float(rng.uniform(-8.0, 8.0))
+        rx = bool(rng.integers(0, 2))
+        R4 = reorients["AP" if trial % 2 else "none"]
+
+        rot = rng.normal(0, 0.5, (1, 3)).astype(np.float32)
+        trans = rng.normal(0, 100.0, (1, 3)).astype(np.float32)
+
+        ref_det = ref_detector.Detector(
+            sdd, h, w, delx, dely, x0, y0,
+            torch.from_numpy(R4), reverse_x_axis=rx)
+        ref_pose = ref_pose_mod.convert(
+            torch.from_numpy(rot), torch.from_numpy(trans),
+            parameterization="euler_angles", convention="ZXY")
+        ref_src, ref_tgt = ref_det(ref_pose, None)
+
+        our_det = OurDetector(
+            sdd, h, w, delx, dely, x0, y0, jnp.asarray(R4),
+            reverse_x_axis=rx)
+        our_pose = our_convert(jnp.asarray(rot), jnp.asarray(trans),
+                               parameterization="euler_angles",
+                               convention="ZXY")
+        our_src, our_tgt = our_det(our_pose, None)
+
+        np.testing.assert_allclose(
+            np.asarray(our_src), ref_src.numpy(), atol=5e-3,
+            err_msg=f"source mismatch: trial {trial}")
+        np.testing.assert_allclose(
+            np.asarray(our_tgt), ref_tgt.numpy(), atol=5e-3,
+            err_msg=f"target mismatch: trial {trial} "
+                    f"(h={h} w={w} x0={x0:.2f} y0={y0:.2f} rx={rx})")
