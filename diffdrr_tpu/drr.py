@@ -75,6 +75,30 @@ _COST_DMA_BYTE = 120.0
 _COST_FIXED_STEP = 2000.0
 
 
+def pallas_cost_terms(renderer_name, tile, ky, zw, zc, height, width,
+                      storage):
+    """Raw per-ray-per-plane cost-model components (MAC units).
+
+    Returns (mxu, vpu, dma, fixed, pad): the MXU contraction, tent/one-hot
+    VPU builds, window DMA bytes, per-step fixed cost, and the
+    detector-padding waste factor. The planner combines them with the
+    ``_COST_*`` constants; ``tools/fit_cost_model.py`` fits those constants
+    against sweep measurements through THIS function, so the two can never
+    desynchronize.
+    """
+    TR = tile * tile
+    bytes_el = 2 if storage == "bf16" else 4
+    n_mm = 2 if renderer_name == "siddon" else 1
+    vpu_c = 5.0 if renderer_name == "siddon" else 3.0
+    pad = (-(-height // tile) * tile) * (-(-width // tile) * tile)
+    pad = pad / float(max(1, height * width))
+    mxu = n_mm * ky * zc * max(1.0, 128.0 / TR)
+    vpu = vpu_c * (ky + zc) + 2.0 * ky * zw / TR
+    dma = ky * zw * bytes_el / TR
+    fixed = 1.0 / TR
+    return mxu, vpu, dma, fixed, pad
+
+
 class DRR:
     """Computes differentiable digitally reconstructed radiographs.
 
@@ -182,9 +206,6 @@ class DRR:
         spacing = np.sqrt((affine[:3, :3] ** 2).sum(axis=0))  # (3,) mm/voxel
         dims = tuple(int(d) for d in self.density.shape)
         pitch = max(self.detector.delx, self.detector.dely)
-        bytes_el = 2 if self.pallas_storage == "bf16" else 4
-        n_mm = 2 if self.renderer_name == "siddon" else 1
-        vpu_c = 5.0 if self.renderer_name == "siddon" else 3.0
 
         # Default march axis: the volume axis most aligned with the principal
         # ray direction at the identity pose. A per-call `axis` kwarg or the
@@ -219,7 +240,6 @@ class DRR:
             # (tools/sweep_tile.py) — CLAUDE.md: window sizing changes with
             # care.
             for tile in (16, 32):
-                TR = tile * tile
                 # +2 placement slack, +15 start-alignment loss, 16-aligned
                 # size (covers the bf16 (16, 128) HBM tiling).
                 ky = -(-(fp(tile, spacing[other[0]]) + 18) // 16) * 16
@@ -230,17 +250,13 @@ class DRR:
                 zw = -(-(zc + 127) // 128) * 128
                 if ky > 256:
                     continue
-                # Detector-padding waste: the image pads to whole tiles, and
-                # every padded ray costs as much as a real one.
-                pad = (-(-hpx // tile) * tile) * (-(-wpx // tile) * tile)
-                pad = pad / float(max(1, hpx * wpx))
-                # Per-ray-per-plane cost model (MAC units): MXU contraction,
-                # tent/one-hot VPU builds, window DMA, per-step fixed cost.
-                mxu = n_mm * ky * zc * max(1.0, 128.0 / TR)
-                vpu = _COST_VPU_ELEM * (vpu_c * (ky + zc) + 2.0 * ky * zw / TR)
-                dma = _COST_DMA_BYTE * ky * zw * bytes_el / TR
-                fixed = _COST_FIXED_STEP / TR
-                cost = (mxu + vpu + dma + fixed) * pad
+                # Per-ray-per-plane cost model; components shared with the
+                # fit tool via pallas_cost_terms.
+                mxu, vpu, dma, fixed, pad = pallas_cost_terms(
+                    self.renderer_name, tile, ky, zw, zc, hpx, wpx,
+                    self.pallas_storage)
+                cost = (mxu + _COST_VPU_ELEM * vpu + _COST_DMA_BYTE * dma
+                        + _COST_FIXED_STEP * fixed) * pad
                 if best is None or cost < best[0]:
                     best = (cost, tile, ky, zw, zc)
             if best is None:
@@ -712,6 +728,10 @@ class DRR:
                 xopts = {k: v for k, v in opts.items()
                          if k not in ("axis", "step", "n_points",
                                       "allow_oversample", "resident")}
+                # reducefn was popped for the kernel call; the fallback must
+                # honor it too (a guard-triggered MIP would otherwise
+                # silently render the line integral).
+                xopts["reducefn"] = reducefn
                 if self.renderer_name == "trilinear":
                     xopts["n_points"] = n_points
                 # Rematerialize: the oracle's sort/take_along_axis saves u32

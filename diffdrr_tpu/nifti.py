@@ -138,13 +138,14 @@ def load(path: Union[str, Path]) -> Tuple[np.ndarray, np.ndarray]:
 
     # NaN slope/inter means "unset" in files from some writers (nibabel
     # treats NaN as no-scale); applying it would NaN the whole volume.
+    # Spec: slope == 0 (or NaN) means NO scaling at all — the intercept is
+    # ignored too, even when nonzero (stale-header case).
     if np.isnan(scl_slope):
         scl_slope = 0.0
     if np.isnan(scl_inter):
         scl_inter = 0.0
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        slope = scl_slope if scl_slope != 0.0 else 1.0
-        data = data.astype(np.float32) * slope + scl_inter
+    if scl_slope != 0.0 and (scl_slope != 1.0 or scl_inter != 0.0):
+        data = data.astype(np.float32) * scl_slope + scl_inter
 
     if sform_code > 0:
         affine = np.array([srow_x, srow_y, srow_z, [0, 0, 0, 1]], np.float64)

@@ -150,12 +150,14 @@ def _validate_z_window(volume_shape, axis, zw, zc):
     """
     other = tuple(d for d in range(3) if d != axis)
     Zp = max(zw, -(-volume_shape[other[1]] // 128) * 128)
-    if zc + 127 <= zw or (zc == zw and zw >= Zp):
+    # zw >= Zp: the DMA window spans the whole padded extent, the start
+    # clamps to 0, and zshift + zc <= (Zp - zc) + zc <= zw — any zc is safe.
+    if zc + 127 <= zw or zw >= Zp:
         return
     raise ValueError(
         f"invalid z windows zc={zc}, zw={zw} for transverse extent "
         f"{volume_shape[other[1]]} (padded {Zp}): need zc + 127 <= zw "
-        f"(roll headroom) or zc == zw >= the padded extent"
+        f"(roll headroom) or zw >= the padded extent"
     )
 
 
@@ -1178,8 +1180,8 @@ def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
         out = run_fwd(vol, lab, rays_tiled, starts, B, N)
         if reduce == "max":
             # Max backward routes through the XLA oracle's VJP (see
-            # render_bwd): keep the raw inputs instead of the prepped forms.
-            return out, (volume, source, target, weights, vol, mask)
+            # render_bwd): keep only the raw inputs (no prepped residuals).
+            return out, (volume, source, target, weights)
         # The prepared arrays ride as residuals: backward never re-runs the
         # window-start precompute or the volume transpose.
         return out, (vol, lab, rays_tiled, starts, source, target, weights)
@@ -1193,7 +1195,7 @@ def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
             # kernel still serves the hot forward path.
             from ..joseph import joseph_raycast
 
-            volume, source, target, weights, vol, mask = res
+            volume, source, target, weights = res
             _, vjp = jax.vjp(
                 lambda v, s, t, w: joseph_raycast(
                     v, s, t, w, axis=axis, step=h, n_steps=n_steps,
@@ -1202,8 +1204,14 @@ def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
                 volume, source, target, weights,
             )
             d_vol, d_source, d_target, d_weights = vjp(g)
-            d_prepped = (jnp.zeros_like(vol) if use_prepped
-                         else jnp.zeros((0,), jnp.float32))
+            # Zero cotangents from STATIC shapes — carrying the prepped
+            # volume as a residual just to zeros_like it would pin tens of
+            # MB of HBM across the backward.
+            Yp = max(dims[other[0]], ky)
+            Zp = max(-(-dims[other[1]] // 128) * 128, zw)
+            pdtype = jnp.bfloat16 if storage == "bf16" else jnp.float32
+            d_prepped = (jnp.zeros((dims[axis] + xpad, Yp, Zp), pdtype)
+                         if use_prepped else jnp.zeros((0,), jnp.float32))
             d_mask = (jnp.zeros(dims, jnp.float32) if n_ch is not None
                       else jnp.zeros((0,), jnp.float32))
             return (d_vol, d_source, d_target, d_weights, d_prepped, d_mask)

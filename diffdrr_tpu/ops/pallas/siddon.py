@@ -507,7 +507,7 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
         out = run_fwd(vol, rays_tiled, starts, B, N)
         if reduce == "max":
             # Max backward routes through the XLA oracle's VJP.
-            return out, (volume, source, target, weights, vol)
+            return out, (volume, source, target, weights)
         return out, (vol, rays_tiled, starts, source, target, weights)
 
     def render_bwd(res, gc):
@@ -518,7 +518,7 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
             # forward/visualization workload).
             from ..siddon import siddon_raycast
 
-            volume, source, target, weights, vol = res
+            volume, source, target, weights = res
             _, vjp = jax.vjp(
                 lambda v, s, t, w: siddon_raycast(
                     v, s, t, w, voxel_shift=voxel_shift, reducefn="max",
@@ -527,8 +527,12 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
                 volume, source, target, weights,
             )
             d_vol, d_source, d_target, d_weights = vjp(gc)
-            d_prepped = (jnp.zeros_like(vol) if use_prepped
-                         else jnp.zeros((0,), jnp.float32))
+            # Zero cotangent from STATIC shape (no prepped residual).
+            Yp = max(dims[other[0]], ky)
+            Zp = max(-(-dims[other[1]] // 128) * 128, zw)
+            pdtype = jnp.bfloat16 if storage == "bf16" else jnp.float32
+            d_prepped = (jnp.zeros((X, Yp, Zp), pdtype)
+                         if use_prepped else jnp.zeros((0,), jnp.float32))
             return d_vol, d_source, d_target, d_weights, d_prepped
 
         vol, rays_tiled, starts, source, target, weights = res

@@ -531,6 +531,43 @@ except ImportError:  # pragma: no cover - flax is expected in this image
     PoseRegressor = None
 
 
+def rescaled_drr(drr: DRR, scale: float) -> DRR:
+    """A coarse-resolution twin of ``drr`` over the SAME physical plane.
+
+    Pixel pitch derives from the realized coarse pixel count
+    (``h * dely == h_s * dely_s`` exactly; delx scales the WIDTH axis per
+    the detector calibration convention) — deriving it from the requested
+    scale would change the field of view whenever ``h * scale`` rounds or
+    clamps, geometrically biasing coarse registration stages.
+    """
+    h_s = max(8, int(round(drr.detector.height * scale)))
+    w_s = max(8, int(round(drr.detector.width * scale)))
+    return DRR(
+        drr.subject,
+        sdd=drr.detector.sdd,
+        height=h_s,
+        width=w_s,
+        delx=drr.detector.delx * drr.detector.width / w_s,
+        dely=drr.detector.dely * drr.detector.height / h_s,
+        x0=drr.detector._x0,
+        y0=drr.detector._y0,
+        renderer=drr.renderer_name,
+        voxel_shift=drr.voxel_shift,
+        reverse_x_axis=drr.detector.reverse_x_axis,
+        # Constructor-consumed options the source DRR popped out of
+        # renderer_kwargs — losing them would silently revert coarse
+        # scales to default precision/storage/remat behavior.
+        patch_size=drr.patch_size,
+        checkpoint_gradients=drr.checkpoint_gradients,
+        precision=drr.pallas_precision,
+        storage=drr.pallas_storage,
+        pallas_fp_scale=drr._fp_scale,
+        **({"pallas_tile": drr._tile_override}
+           if drr._tile_override is not None else {}),
+        **drr.renderer_kwargs,
+    )
+
+
 def optimize_multiscale(
     drr: DRR,
     target_img: jnp.ndarray,
@@ -558,39 +595,7 @@ def optimize_multiscale(
             drr_s = drr
             tgt = target_img
         else:
-            # A rescaled detector: fewer, larger pixels over the SAME
-            # physical plane. Pixel pitch derives from the realized coarse
-            # pixel count (h*delx == h_s*delx_s exactly) — deriving it from
-            # the requested scale would change the field of view whenever
-            # h*scale rounds or clamps, geometrically biasing coarse stages.
-            from .drr import DRR as _DRR
-
-            h_s = max(8, int(round(drr.detector.height * scale)))
-            w_s = max(8, int(round(drr.detector.width * scale)))
-            drr_s = _DRR(
-                drr.subject,
-                sdd=drr.detector.sdd,
-                height=h_s,
-                width=w_s,
-                delx=drr.detector.delx * drr.detector.height / h_s,
-                dely=drr.detector.dely * drr.detector.width / w_s,
-                x0=drr.detector._x0,
-                y0=drr.detector._y0,
-                renderer=drr.renderer_name,
-                voxel_shift=drr.voxel_shift,
-                reverse_x_axis=drr.detector.reverse_x_axis,
-                # Constructor-consumed options the source DRR popped out of
-                # renderer_kwargs — losing them silently reverted coarse
-                # scales to default precision/storage/remat behavior.
-                patch_size=drr.patch_size,
-                checkpoint_gradients=drr.checkpoint_gradients,
-                precision=drr.pallas_precision,
-                storage=drr.pallas_storage,
-                pallas_fp_scale=drr._fp_scale,
-                **({"pallas_tile": drr._tile_override}
-                   if drr._tile_override is not None else {}),
-                **drr.renderer_kwargs,
-            )
+            drr_s = rescaled_drr(drr, scale)
             B, C = target_img.shape[:2]
             tgt = jax.image.resize(
                 target_img,

@@ -232,3 +232,18 @@ def test_nifti_pair_magic_rejected(tmp_path):
     hdr.write_bytes(bytes(raw))
     with pytest.raises(ValueError, match="pair"):
         nifti.load(hdr)
+
+
+def test_nifti_zero_slope_stale_inter_ignored(tmp_path):
+    """scl_slope == 0 means NO scaling at all — a stale nonzero scl_inter
+    must be ignored (spec/nibabel), not applied with slope 1."""
+    import struct
+
+    data = np.arange(8, dtype=np.int16).reshape(2, 2, 2)
+    path = tmp_path / "v.nii"
+    nifti.save(path, data, np.eye(4))
+    raw = bytearray(path.read_bytes())
+    struct.pack_into("<2f", raw, 112, 0.0, -1024.0)
+    path.write_bytes(bytes(raw))
+    vol, _ = nifti.load(path)
+    np.testing.assert_array_equal(np.asarray(vol), data)

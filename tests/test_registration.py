@@ -293,3 +293,23 @@ def test_sgd_momentum_matches_torch():
         jp = optax.apply_updates(jp, updates)
         np.testing.assert_allclose(np.asarray(jp),
                                    tp.detach().numpy(), atol=1e-6)
+
+
+def test_rescaled_drr_preserves_fov_and_options():
+    """Coarse multiscale DRRs cover the SAME physical plane (regression:
+    the delx/dely rescale ratios were swapped — masked by square detectors)
+    and inherit constructor-consumed options."""
+    from diffdrr_tpu.registration import rescaled_drr
+
+    subject = load_example_ct(shape=(32, 32, 16))
+    drr = DRR(subject, sdd=700.0, height=32, width=64, delx=2.0, dely=3.0,
+              renderer="trilinear", storage="bf16",
+              checkpoint_gradients=True)
+    c = rescaled_drr(drr, 0.3)
+    # FOV preserved exactly on BOTH axes despite rounding/clamping.
+    np.testing.assert_allclose(c.detector.width * c.detector.delx,
+                               64 * 2.0, rtol=1e-6)
+    np.testing.assert_allclose(c.detector.height * c.detector.dely,
+                               32 * 3.0, rtol=1e-6)
+    assert c.pallas_storage == "bf16"
+    assert c.checkpoint_gradients is True

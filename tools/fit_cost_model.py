@@ -34,19 +34,17 @@ MARCH_AXIS = 2  # the sweep renders with axis=2
 
 
 def model_terms(drr, axis=MARCH_AXIS):
-    """Recompute the planner's cost-model components for drr's chosen cfg."""
+    """The planner's cost-model components for drr's chosen cfg.
+
+    Delegates to ``diffdrr_tpu.drr.pallas_cost_terms`` — the SAME function
+    the planner uses — so fitted constants always refer to the live model.
+    """
+    from diffdrr_tpu.drr import pallas_cost_terms
+
     tile, ky, zw, zc = drr.pallas_cfg[axis]
-    TR = tile * tile
-    hpx, wpx = drr.detector.height, drr.detector.width
-    pad = (-(-hpx // tile) * tile) * (-(-wpx // tile) * tile)
-    pad = pad / float(max(1, hpx * wpx))
-    bytes_el = 2 if drr.pallas_storage == "bf16" else 4
-    n_mm = 2 if drr.renderer_name == "siddon" else 1
-    vpu_c = 5.0 if drr.renderer_name == "siddon" else 3.0
-    mxu = n_mm * ky * zc * max(1.0, 128.0 / TR)
-    vpu = vpu_c * (ky + zc) + 2.0 * ky * zw / TR
-    dma = ky * zw * bytes_el / TR
-    fixed = 1.0 / TR
+    mxu, vpu, dma, fixed, pad = pallas_cost_terms(
+        drr.renderer_name, tile, ky, zw, zc,
+        drr.detector.height, drr.detector.width, drr.pallas_storage)
     return np.array([mxu, vpu, dma, fixed]), pad, (tile, ky, zw, zc)
 
 
@@ -115,7 +113,6 @@ def main(argv):
     print("\nconfig                cfg(t,ky,zw,zc)        measured   predicted")
     pred = A @ x
     for i, name in enumerate(names):
-        drr_pad = b[i] / times[i] if times[i] else 1.0
         print(f"{name:21s} {str(cfgs[name]):22s} {measured[name]:8.3f}ms "
               f"{pred[i] * (measured[name] / b[i]):9.3f}ms")
     # Which tile would the planner now pick per renderer?
@@ -132,6 +129,9 @@ def main(argv):
                 continue
             terms, pad, _ = model_terms(drr)
             costs[tile] = float(terms @ x) * pad
+        if not costs:
+            print(f"  {renderer}: no tile plan succeeded")
+            continue
         best = min(costs, key=costs.get)
         pretty = ", ".join(f"t{t}={c:.3g}" for t, c in sorted(costs.items()))
         print(f"  {renderer}: picks t{best}   ({pretty})")
