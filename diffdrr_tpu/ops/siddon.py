@@ -52,6 +52,13 @@ def _get_alphas(
     *intended* behavior instead by clamping every crossing into the ray's
     [alphamin, alphamax] slab interval — out-of-volume segments collapse to
     zero length and contribute nothing, with no dynamic shapes.
+
+    Default (False, matching the reference): the crossing set is NOT clipped
+    to alpha in [0, 1], so a volume lying outside the source->target segment
+    (e.g. behind the source) is still integrated — Siddon integrates the ray
+    LINE, while Trilinear/Joseph clamp to the segment. Geometries where this
+    matters are pathological (the volume should sit between source and
+    detector); pass ``filter_intersections_outside_volume=True`` to clamp.
     """
     d0, d1, d2 = dims
     dtype = source.dtype
