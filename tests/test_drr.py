@@ -438,3 +438,39 @@ def test_ray_compatibility_subsampled_matches_full(subject):
     bs, rs = sub.pallas_ray_compatibility(pose)
     assert bf == bs
     np.testing.assert_allclose(rs, rf, rtol=1e-6)
+
+
+def test_slab_guard_fallback_honors_reducefn(subject, pose_args, monkeypatch):
+    """A guard-triggered fallback during a MIP render must return the MAX
+    image (regression: reducefn was popped before the fallback captured its
+    options, silently rendering the line integral instead)."""
+    import diffdrr_tpu.ops.pallas.siddon as psid
+    import diffdrr_tpu.drr as drr_mod
+
+    POISON = 12345.0
+
+    def poison(volume, source, target, weights=None, **kw):
+        B, N = target.shape[0], target.shape[1]
+        return jnp.full((B, 1, N), POISON, jnp.float32)
+
+    monkeypatch.setattr(psid, "siddon_pallas_raycast", poison)
+    monkeypatch.setattr(
+        drr_mod.DRR, "_pallas_capable",
+        lambda self, m, o: (self.renderer_name == "siddon"
+                            and self.pallas_ok
+                            and not o.get("force_xla", False)
+                            and o.get("reducefn", "sum") in ("sum", "max")),
+    )
+
+    # Wide cone (half-width 160 > sdd 100 -> worst-ray ratio > 1: the guard
+    # always fires) at a translation that keeps the volume in the beam.
+    wide = DRR(subject, sdd=100.0, height=16, delx=20.0)
+    pose_args = (pose_args[0], jnp.array([[0.0, 50.0, 0.0]], jnp.float32))
+    mip = _render(wide, pose_args, reducefn="max")
+    assert float(jnp.abs(jnp.asarray(mip)).max()) > 0
+    mip_oracle = _render(wide, pose_args, reducefn="max", force_xla=True)
+    total_oracle = _render(wide, pose_args, force_xla=True)
+    np.testing.assert_allclose(np.asarray(mip), np.asarray(mip_oracle),
+                               atol=1e-5)
+    assert not np.allclose(np.asarray(mip), np.asarray(total_oracle))
+    assert not np.allclose(np.asarray(mip), POISON)
