@@ -513,7 +513,11 @@ def _bwd_vol_kernel(
     sequential, so the load/store pipeline double-buffers. Blend mode:
     adjacent plane-pair windows overlap in one plane, so each store completes
     before the next load issues (serialized RMW). Channel mode replaces the
-    constant per-ray g with the per-plane channel-selected cotangent."""
+    constant per-ray g with the per-plane channel-selected cotangent.
+
+    LOCKSTEP WARNING: siddon._bwd_vol_kernel carries a copy of the
+    non-blend scalar pipeline — keep wait-ordering fixes mirrored (see the
+    note there and docs/STATUS.md remaining-candidates item 3)."""
     if n_ch is None:
         (starts_ref, rays_ref, g_ref, vol_ref, dvol_in_ref,
          dvol_ref, win_buf, dwin_buf, sems, store_sems) = refs

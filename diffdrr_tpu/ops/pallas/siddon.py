@@ -358,6 +358,14 @@ def _bwd_vol_kernel(
     win_buf, dwin_buf, sems, store_sems,
     *, ky, zw, zc, precision,
 ):
+    # LOCKSTEP WARNING: the read-modify-write double-buffer pipeline below
+    # (load/store_dma, slot scheduling, the store-wait ordering, and the
+    # two trailing store-wait epilogues) is the non-blend scalar case of
+    # joseph._bwd_vol_kernel. Any fix to the wait ordering there MUST be
+    # mirrored here (and vice versa) — a shared helper is deliberately
+    # deferred until the refactor can be validated on real hardware
+    # (interpret mode runs DMAs synchronously and cannot catch ordering
+    # bugs; see docs/STATUS.md remaining-candidates item 3).
     del vol_ref
     tr = rays_ref.shape[1]
     r = _ray_rows(rays_ref)
