@@ -647,6 +647,21 @@ class DRR:
             allow_oversample = opts.pop("allow_oversample", False)
             resident = opts.pop("resident", None)
             reducefn = opts.pop("reducefn", "sum")
+            eps = opts.pop("eps", 1e-8)
+            # Reject anything left over beyond the keys the capability gate
+            # validated: on the XLA path a typo'd kwarg raises a TypeError
+            # from the renderer, and the kernel path must not silently
+            # swallow the same mistake.
+            known_leftover = {"voxel_shift", "mask", "n_channels", "mode",
+                              "align_corners", "alphamin", "alphamax",
+                              "slab_guard", "footprint_guard",
+                              "stop_gradients_through_grid_sample"}
+            unknown = set(opts) - known_leftover
+            if unknown:
+                raise TypeError(
+                    f"unexpected renderer option(s) {sorted(unknown)} for "
+                    f"the {self.renderer_name!r} kernel path"
+                )
             # Use the cached prepped volume only for the stored density (the
             # reconstruction seam passes a free variable — never cached).
             # Identity fails under jax.checkpoint (the arg is re-traced);
@@ -658,6 +673,7 @@ class DRR:
                 common = dict(
                     image_shape=(H, W),
                     voxel_shift=self.voxel_shift,
+                    eps=eps,
                     tile=tile, ky=ky, zw=zw, zc=zc,
                     precision=self.pallas_precision,
                     storage=self.pallas_storage,
@@ -728,10 +744,11 @@ class DRR:
                 xopts = {k: v for k, v in opts.items()
                          if k not in ("axis", "step", "n_points",
                                       "allow_oversample", "resident")}
-                # reducefn was popped for the kernel call; the fallback must
-                # honor it too (a guard-triggered MIP would otherwise
+                # reducefn/eps were popped for the kernel call; the fallback
+                # must honor them too (a guard-triggered MIP would otherwise
                 # silently render the line integral).
                 xopts["reducefn"] = reducefn
+                xopts["eps"] = eps
                 if self.renderer_name == "trilinear":
                     xopts["n_points"] = n_points
                 # Rematerialize: the oracle's sort/take_along_axis saves u32

@@ -474,3 +474,13 @@ def test_slab_guard_fallback_honors_reducefn(subject, pose_args, monkeypatch):
                                atol=1e-5)
     assert not np.allclose(np.asarray(mip), np.asarray(total_oracle))
     assert not np.allclose(np.asarray(mip), POISON)
+
+
+def test_kernel_path_rejects_unknown_kwargs(subject, pose_args, monkeypatch):
+    """Typo'd renderer options must raise on the KERNEL path too (the XLA
+    path raises from the renderer signature; the kernel dispatch used to
+    silently drop leftovers)."""
+    drr = DRR(subject, sdd=800.0, height=16, delx=4.0, renderer="joseph")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(TypeError, match="n_poitns"):
+        _render(drr, pose_args, n_poitns=99)
