@@ -503,21 +503,66 @@ def _bwd_rays_kernel(
     dout_ref[_SC : _SC + 1, :] = acc_ref[6:7, :] * g
 
 
+def _rmw_double_buffered(lo, hi, load_dma, store_dma, win_buf, dwin_buf,
+                         compute_dwin):
+    """Double-buffered read-modify-write DMA pipeline over DISJOINT windows.
+
+    Per plane ``p``: prefetch plane ``p+1``'s load (overlaps with compute),
+    compute this plane's gradient window (``compute_dwin(p)``, shaped like one
+    ``win_buf`` slot), wait the two-iterations-ago store on this slot, wait
+    this plane's load, accumulate into ``dwin_buf``, start the store. Two
+    trailing waits drain the pipeline.
+
+    REQUIRES that distinct planes' volume windows are disjoint: a store to
+    plane ``p`` is only known complete at slot reuse (``p+2``), so overlapping
+    windows would race (joseph blend mode serializes instead). Shared by the
+    joseph and exact-Siddon d/d(volume) kernels."""
+
+    @pl.when(lo < hi)
+    def _():
+        load_dma(0, lo).start()
+
+    def body(p, _):
+        slot = jax.lax.rem(p - lo, 2)
+
+        @pl.when(p + 1 < hi)
+        def _():
+            load_dma(jax.lax.rem(p + 1 - lo, 2), p + 1).start()
+
+        dwin = compute_dwin(p)
+
+        # Wait for the previous store on this buffer slot before reuse.
+        @pl.when(p >= lo + 2)
+        def _():
+            store_dma(slot, p - 2).wait()
+
+        load_dma(slot, p).wait()
+        dwin_buf[slot] = win_buf[slot] + dwin
+        store_dma(slot, p).start()
+        return ()
+
+    jax.lax.fori_loop(lo, hi, body, (), unroll=False)
+
+    @pl.when(hi - lo >= 2)
+    def _():
+        store_dma(jax.lax.rem(hi - 2 - lo, 2), hi - 2).wait()
+
+    @pl.when(hi - lo >= 1)
+    def _():
+        store_dma(jax.lax.rem(hi - 1 - lo, 2), hi - 1).wait()
+
+
 def _bwd_vol_kernel(
     *refs, h, ky, zw, zc, precision, blend, n_ch=None,
 ):
     """Accumulate d(loss)/d(volume): dWin = (wy * g) @ (wz*scale)^T per plane,
     read-modify-written into the aliased gradient volume.
 
-    Integer stride: windows of distinct planes are disjoint and the grid is
-    sequential, so the load/store pipeline double-buffers. Blend mode:
-    adjacent plane-pair windows overlap in one plane, so each store completes
-    before the next load issues (serialized RMW). Channel mode replaces the
-    constant per-ray g with the per-plane channel-selected cotangent.
-
-    LOCKSTEP WARNING: siddon._bwd_vol_kernel carries a copy of the
-    non-blend scalar pipeline — keep wait-ordering fixes mirrored (see the
-    note there and docs/STATUS.md remaining-candidates item 3)."""
+    Integer stride: windows of distinct planes are disjoint, so the load/store
+    pipeline double-buffers (``_rmw_double_buffered``). Blend mode: adjacent
+    plane-pair windows overlap in one plane, so each store completes before
+    the next load issues (serialized RMW). Channel mode replaces the constant
+    per-ray g with the per-plane channel-selected cotangent."""
     if n_ch is None:
         (starts_ref, rays_ref, g_ref, vol_ref, dvol_in_ref,
          dvol_ref, win_buf, dwin_buf, sems, store_sems) = refs
@@ -559,15 +604,7 @@ def _bwd_vol_kernel(
             store_sems.at[slot],
         )
 
-    @pl.when(lo < hi)
-    def _():
-        load_dma(0, lo).start()
-        if n_ch is not None:
-            lab_dma(0, lo).start()
-
-    def body(p, _):
-        slot = jax.lax.rem(p - lo, 2)
-
+    def compute_dwin(p):  # -> (KY, ZW), this plane's gradient window
         if n_ch is not None:
             @pl.when(p + 1 < hi)
             def _():
@@ -577,10 +614,10 @@ def _bwd_vol_kernel(
         if n_ch is None:
             gp = g
         else:
-            lab_dma(slot, p).wait()
-            lab = _sample_labels(lab_buf[slot], p, h, n_src, blend,
-                                 starts_ref, iota_y, iota_z, ry, rz, zc,
-                                 precision)
+            lab_dma(jax.lax.rem(p - lo, 2), p).wait()
+            lab = _sample_labels(lab_buf[jax.lax.rem(p - lo, 2)], p, h, n_src,
+                                 blend, starts_ref, iota_y, iota_z, ry, rz,
+                                 zc, precision)
             sel = _channel_select(lab, g_ref.shape[0], tr)
             gp = jnp.sum(g_ref[...] * sel, axis=0, keepdims=True)
         wyg = _tent(ry - iota_y) * gp  # (KY, TR)
@@ -591,8 +628,23 @@ def _bwd_vol_kernel(
             # lane offset inside the aligned (KY, ZW) frame.
             dwin = jnp.pad(dwin, ((0, 0), (0, zw - zc)))
             dwin = pltpu.roll(dwin, starts_ref[0, p, 2], axis=1)
+        return dwin
 
-        if blend:
+    if n_ch is not None:
+        @pl.when(lo < hi)
+        def _():
+            lab_dma(0, lo).start()
+
+    if blend:
+        # Adjacent plane-pair windows OVERLAP in one plane: serialize the RMW
+        # (each store completes before the next load issues).
+        @pl.when(lo < hi)
+        def _():
+            load_dma(0, lo).start()
+
+        def body(p, _):
+            slot = jax.lax.rem(p - lo, 2)
+            dwin = compute_dwin(p)
             fx = _blend_fraction(p, h, n_src)
             dpair = jnp.stack([dwin * (1.0 - fx), dwin * fx])
             load_dma(slot, p).wait()
@@ -604,31 +656,12 @@ def _bwd_vol_kernel(
             @pl.when(p + 1 < hi)
             def _():
                 load_dma(jax.lax.rem(p + 1 - lo, 2), p + 1).start()
-        else:
-            @pl.when(p + 1 < hi)
-            def _():
-                load_dma(jax.lax.rem(p + 1 - lo, 2), p + 1).start()
+            return ()
 
-            # Wait for the previous store on this buffer slot before reuse.
-            @pl.when(p >= lo + 2)
-            def _():
-                store_dma(slot, p - 2).wait()
-
-            load_dma(slot, p).wait()
-            dwin_buf[slot] = win_buf[slot] + dwin[None]
-            store_dma(slot, p).start()
-        return ()
-
-    jax.lax.fori_loop(lo, hi, body, (), unroll=False)
-
-    if not blend:
-        @pl.when(hi - lo >= 2)
-        def _():
-            store_dma(jax.lax.rem(hi - 2 - lo, 2), hi - 2).wait()
-
-        @pl.when(hi - lo >= 1)
-        def _():
-            store_dma(jax.lax.rem(hi - 1 - lo, 2), hi - 1).wait()
+        jax.lax.fori_loop(lo, hi, body, (), unroll=False)
+    else:
+        _rmw_double_buffered(lo, hi, load_dma, store_dma, win_buf, dwin_buf,
+                             lambda p: compute_dwin(p)[None])
 
 
 # =============================================================================

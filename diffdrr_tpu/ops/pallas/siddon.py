@@ -61,6 +61,7 @@ from .joseph import (
     _prep_vol,
     _ray_rows,
     _read_range,
+    _rmw_double_buffered,
     _resolve_resident,
     _roll_window,
     _tile_permutes,
@@ -358,14 +359,9 @@ def _bwd_vol_kernel(
     win_buf, dwin_buf, sems, store_sems,
     *, ky, zw, zc, precision,
 ):
-    # LOCKSTEP WARNING: the read-modify-write double-buffer pipeline below
-    # (load/store_dma, slot scheduling, the store-wait ordering, and the
-    # two trailing store-wait epilogues) is the non-blend scalar case of
-    # joseph._bwd_vol_kernel. Any fix to the wait ordering there MUST be
-    # mirrored here (and vice versa) — a shared helper is deliberately
-    # deferred until the refactor can be validated on real hardware
-    # (interpret mode runs DMAs synchronously and cannot catch ordering
-    # bugs; see docs/STATUS.md remaining-candidates item 3).
+    # d/d(volume) via the shared double-buffered RMW pipeline
+    # (joseph._rmw_double_buffered); slab windows of distinct planes are
+    # disjoint, satisfying its disjointness requirement.
     del vol_ref
     tr = rays_ref.shape[1]
     r = _ray_rows(rays_ref)
@@ -394,17 +390,7 @@ def _bwd_vol_kernel(
             store_sems.at[slot],
         )
 
-    @pl.when(lo < hi)
-    def _():
-        load_dma(0, lo).start()
-
-    def body(s, _):
-        slot = jax.lax.rem(s - lo, 2)
-
-        @pl.when(s + 1 < hi)
-        def _():
-            load_dma(jax.lax.rem(s + 1 - lo, 2), s + 1).start()
-
+    def compute_dwin(s):  # -> (1, KY, ZW), this slab's gradient window
         C, ry0, rz0, _ = _slab_segments(r, s, starts_ref)
         wz, ey2, eyr = _paired_onehots(iota_y2, iota_z2, ry0, rz0)
 
@@ -419,25 +405,10 @@ def _bwd_vol_kernel(
         if zc != zw:
             dwin = jnp.pad(dwin, ((0, 0), (0, zw - zc)))
             dwin = pltpu.roll(dwin, starts_ref[0, s, 2], axis=1)
+        return dwin[None]
 
-        @pl.when(s >= lo + 2)
-        def _():
-            store_dma(slot, s - 2).wait()
-
-        load_dma(slot, s).wait()
-        dwin_buf[slot] = win_buf[slot] + dwin[None]
-        store_dma(slot, s).start()
-        return ()
-
-    jax.lax.fori_loop(lo, hi, body, (), unroll=False)
-
-    @pl.when(hi - lo >= 2)
-    def _():
-        store_dma(jax.lax.rem(hi - 2 - lo, 2), hi - 2).wait()
-
-    @pl.when(hi - lo >= 1)
-    def _():
-        store_dma(jax.lax.rem(hi - 1 - lo, 2), hi - 1).wait()
+    _rmw_double_buffered(lo, hi, load_dma, store_dma, win_buf, dwin_buf,
+                         compute_dwin)
 
 
 # =============================================================================
