@@ -68,11 +68,17 @@ _RENDERERS = {
     "joseph": joseph_raycast,
 }
 
-# Cost-model constants, in MXU-MAC units (v5e-class: ~98 G MAC/ms, VPU
-# ~0.96 G elem/ms, HBM ~0.81 GB/ms). Used only for *ranking* tile choices.
-_COST_VPU_ELEM = 100.0
-_COST_DMA_BYTE = 120.0
-_COST_FIXED_STEP = 2000.0
+# Cost-model constants, in MXU-MAC units. Used only for *ranking* tile
+# choices. Fitted on v5e hardware from the round-3 tile sweep
+# (tools/sweep_tile.py -> tools/fit_cost_model.py, 13 configs, 200^2
+# detector, 512x512x133 CT): the VPU window-build term dominates, DMA fits
+# to ~0 because the bench CT is VMEM-resident (no per-plane window DMA).
+# Fit residuals are ~±20%; the ranking it implies (t32 for both renderers,
+# t64 excluded) matches the measured ordering. Non-resident (>96 MiB)
+# volumes stream windows from HBM and may warrant a re-fit.
+_COST_VPU_ELEM = 4560.0
+_COST_DMA_BYTE = 0.0
+_COST_FIXED_STEP = 2.05e9
 
 
 def pallas_cost_terms(renderer_name, tile, ky, zw, zc, height, width,
@@ -235,11 +241,10 @@ class DRR:
             best = None
             # TR = tile^2 is the kernel block's lane dimension: Mosaic
             # requires it to be a multiple of 128, so tiles below 16 are out.
-            # 64 is interpret-mode validated and available via pallas_tile=64,
-            # but stays out of auto-selection until measured on hardware
-            # (tools/sweep_tile.py) — CLAUDE.md: window sizing changes with
-            # care.
-            for tile in (16, 32):
+            # All three candidates are hardware-measured (round-3 sweep);
+            # t64 loses at every measured config but stays in the pool for
+            # geometries where its window/padding economics differ.
+            for tile in (16, 32, 64):
                 # +2 placement slack, +15 start-alignment loss, 16-aligned
                 # size (covers the bf16 (16, 128) HBM tiling).
                 ky = -(-(fp(tile, spacing[other[0]]) + 18) // 16) * 16
@@ -797,17 +802,33 @@ class DRR:
                 return out.reshape(*out.shape[:2], n_chunks * chunk)[..., :N]
 
             def worst_ratios():
-                # Worst-ray alignment ratio per axis (in voxel space).
-                d = jnp.abs(target - source)  # (B, N, 3)
+                # Worst-ray alignment ratio per axis (voxel space), from the
+                # FOUR CORNER rays only — exact, not a heuristic: rays are
+                # affine in detector pixel coords (every transform in the
+                # chain is affine), so each |d_transverse|/|d_axis| is a
+                # linear-fractional function of (u, v); on the detector
+                # rectangle its max is attained at a vertex whenever d_axis
+                # has uniform sign there, and a sign change among the
+                # corners (affine d_axis ⇒ extremes at corners) means some
+                # interior ray has d_axis ≈ 0, i.e. the axis is invalid.
+                # Replaces a full-frame (B, N) max-reduce with an O(4B) one.
+                W_ = self.detector.width
+                cidx = jnp.asarray(
+                    [0, W_ - 1, (H - 1) * W_, H * W_ - 1], jnp.int32)
+                d = target[:, cidx] - jnp.broadcast_to(
+                    source, target.shape)[:, cidx]  # (B, 4, 3)
+                da = jnp.abs(d)
                 eps = 1e-12
-                return jnp.stack([
-                    jnp.max(jnp.maximum(d[..., 1], d[..., 2])
-                            / jnp.maximum(d[..., 0], eps)),
-                    jnp.max(jnp.maximum(d[..., 0], d[..., 2])
-                            / jnp.maximum(d[..., 1], eps)),
-                    jnp.max(jnp.maximum(d[..., 0], d[..., 1])
-                            / jnp.maximum(d[..., 2], eps)),
-                ])
+                same_sign = (jnp.max(d, axis=1) * jnp.min(d, axis=1)
+                             ) > 0.0  # (B, 3): uniform d sign per axis
+                trans_max = jnp.stack([
+                    jnp.maximum(da[..., 1], da[..., 2]),
+                    jnp.maximum(da[..., 0], da[..., 2]),
+                    jnp.maximum(da[..., 0], da[..., 1]),
+                ], axis=-1)  # (B, 4, 3)
+                r = jnp.max(trans_max / jnp.maximum(da, eps), axis=1)  # (B, 3)
+                r = jnp.where(same_sign, r, 1e12)
+                return jnp.max(r, axis=0)  # (3,)
 
             if axis is not None:
                 fn = render_axis(axis)

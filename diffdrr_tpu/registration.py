@@ -209,10 +209,16 @@ def make_registration_step(
 
     Optimizers match the reference experiment sweep
     (experiments/registration.py:74-116): ``"adam"``, ``"sgd"`` (with
-    ``momentum``/``dampening``), and ``"lbfgs"`` (optax L-BFGS with zoom
-    linesearch; learning rates are ignored — the linesearch sets the step).
-    Adam/SGD apply split learning rates to the rotation and translation
-    parameter groups; ``maximize=True`` ascends similarity metrics like NCC.
+    ``momentum``/``dampening``), and ``"lbfgs"``. Adam/SGD apply split
+    learning rates to the rotation and translation parameter groups.
+    ``"lbfgs"`` intentionally ignores ``lr_rotation``/``lr_translation``:
+    the reference's own LBFGS config is a SINGLE parameter group with the
+    default lr and a strong-Wolfe line search
+    (``torch.optim.LBFGS([rotations, translations],
+    line_search_fn="strong_wolfe")``, experiments/registration.py:110-114);
+    ``optax.lbfgs()``'s zoom linesearch is the equivalent — the line search
+    sets the step, so per-group LRs have no analog in either library.
+    ``maximize=True`` ascends similarity metrics like NCC.
     """
     if metric is None:
         metric = MultiscaleNormalizedCrossCorrelation2d([None, 13], [0.5, 0.5])
@@ -273,6 +279,7 @@ def make_registration_step(
     # pass them as arguments too.
     step_fn.raw = raw_step
     step_fn.operands = (drr, target_img)
+    step_fn.metric = metric
     return init_fn, step_fn
 
 
@@ -352,8 +359,11 @@ def optimize_multistart(
     kernel dispatch, and because Adam/SGD updates are elementwise and the
     loss is a SUM of per-restart scores, the batched run is exactly N
     independent optimizations — same trajectories, one compile, one
-    dispatch chain. (``lbfgs`` is rejected: its line search would couple
-    the restarts through a shared step size.)
+    dispatch chain. ``lbfgs`` cannot share one batched update (its line
+    search would couple the restarts through a shared step size), so it
+    runs each restart independently under a single compiled
+    ``jax.lax.map`` — the faithful analog of the reference's
+    one-registration-at-a-time loop (experiments/registration.py:119-186).
 
     Args mirror :func:`optimize`, with ``rotations``/``translations``
     carrying a leading restart axis (N, ...). Returns
@@ -364,9 +374,9 @@ def optimize_multistart(
     Pick the winner with ``argmax`` (``maximize=True``) / ``argmin``.
     """
     if optimizer == "lbfgs":
-        raise ValueError(
-            "optimize_multistart supports elementwise optimizers "
-            "('adam', 'sgd'); lbfgs couples restarts via its line search"
+        return _multistart_lbfgs(
+            drr, target_img, rotations, translations, parameterization,
+            convention, n_iters, metric, maximize, **render_kwargs,
         )
     if metric is None:
         metric = MultiscaleNormalizedCrossCorrelation2d([None, 13], [0.5, 0.5])
@@ -407,6 +417,52 @@ def optimize_multistart(
 
     params, trace, final = run(drr, target_img, params, opt_state, n_iters)
     return (params["rotation"], params["translation"], final, trace)
+
+
+def _multistart_lbfgs(
+    drr, target_img, rotations, translations, parameterization, convention,
+    n_iters, metric, maximize, **render_kwargs,
+):
+    """N independent LBFGS registrations under one compiled ``lax.map``.
+
+    Each restart carries its own optax L-BFGS state and line search (the
+    reference runs LBFGS restarts one at a time for the same reason,
+    experiments/registration.py:110-114,119-186). Returns the same
+    ``(rotations, translations, final_scores, score_trace)`` contract as
+    :func:`optimize_multistart`, with ``score_trace`` shaped (n_iters, N).
+    """
+    init_fn, step_fn = make_registration_step(
+        drr, target_img, parameterization, convention, metric=metric,
+        optimizer="lbfgs", maximize=maximize, **render_kwargs,
+    )
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run_all(drr, tgt, rots, trans, n):
+        def one(rt):
+            rot, tr = rt
+            params, opt_state = init_fn(rot, tr)
+
+            def body(carry, _):
+                params, opt_state = carry
+                params, opt_state, score = step_fn.raw(
+                    drr, tgt, params, opt_state)
+                return (params, opt_state), score
+
+            (params, _), scores = jax.lax.scan(
+                body, (params, opt_state), None, length=n)
+            # Score the returned pose (trace rows are pre-update scores).
+            img = drr(params["rotation"], params["translation"],
+                      parameterization=parameterization,
+                      convention=convention, **render_kwargs)
+            final = jnp.mean(step_fn.metric(img, tgt))
+            return params["rotation"], params["translation"], final, scores
+
+        return jax.lax.map(one, (rots, trans))
+
+    rots = jnp.asarray(rotations)[:, None]  # per-restart batch axis of 1
+    trans = jnp.asarray(translations)[:, None]
+    r, t, final, scores = run_all(drr, target_img, rots, trans, n_iters)
+    return r[:, 0], t[:, 0], final, jnp.moveaxis(scores, 0, 1)
 
 
 def optimize_until(

@@ -258,13 +258,35 @@ def test_optimize_multistart_matches_independent_runs(setup):
                                    np.asarray(trace)[:, i], atol=1e-3)
 
 
-def test_optimize_multistart_rejects_lbfgs(setup):
+def test_optimize_multistart_lbfgs(setup):
+    """LBFGS restarts run independently under one lax.map (each with its
+    own line search), returning the same contract as the batched path."""
     from diffdrr_tpu.registration import optimize_multistart
 
     _, drr, rot_true, trans_true, target = setup
-    with pytest.raises(ValueError):
-        optimize_multistart(drr, target, rot_true, trans_true,
-                            "euler_angles", "ZXY", optimizer="lbfgs")
+    rots0 = rot_true[0] + jnp.asarray(
+        [[0.01, -0.01, 0.0], [0.2, 0.15, -0.18]], jnp.float32)
+    transs0 = trans_true[0] + jnp.asarray(
+        [[1.0, -1.0, 0.5], [15.0, 12.0, -14.0]], jnp.float32)
+
+    rots, transs, scores, trace = optimize_multistart(
+        drr, target, rots0, transs0, "euler_angles", "ZXY",
+        optimizer="lbfgs", n_iters=4, n_points=100,
+    )
+    assert rots.shape == (2, 3) and transs.shape == (2, 3)
+    assert scores.shape == (2,) and trace.shape == (4, 2)
+    assert np.isfinite(np.asarray(scores)).all()
+    # The near start must score at least as well as the far one, and each
+    # restart must match running it alone through the lbfgs step path.
+    assert float(scores[0]) >= float(scores[1]) - 1e-4
+    r1, t1, tr1 = optimize(
+        drr, target, rots0[0:1], transs0[0:1], "euler_angles", "ZXY",
+        optimizer="lbfgs", n_iters=4, n_points=100,
+    )
+    np.testing.assert_allclose(np.asarray(r1)[0], np.asarray(rots)[0],
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(tr1), np.asarray(trace)[:, 0],
+                               atol=1e-3)
 
 
 def test_sgd_momentum_matches_torch():

@@ -1,5 +1,9 @@
 """Sweep pallas tile/window configs for joseph+siddon fwd at 200^2 on TPU."""
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 import numpy as np
 import jax, jax.numpy as jnp
