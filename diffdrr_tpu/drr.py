@@ -193,9 +193,14 @@ class DRR:
         # magnification (samples at the detector plane, alpha = 1).
         # Geometries that keep the volume near the isocenter only reach
         # alpha ~ 0.5-0.7; lowering pallas_fp_scale shrinks windows (and
-        # cost) accordingly — at the caller's own risk of clipping
-        # peripheral samples.
-        self._fp_scale = float(self.renderer_kwargs.pop("pallas_fp_scale", 1.0))
+        # kernel cost — window extents scale both the MXU contraction and
+        # the VPU tent builds). Default 0.8: the exact per-pose
+        # footprint-fit guard now rides the window-placement scan for free
+        # (ops/pallas/joseph.py), so a pose that outgrows the shrunk
+        # windows falls back to the XLA oracle instead of clipping —
+        # slower for such extreme-magnification poses, never wrong. Set
+        # 1.0 to restore the conservative bound (kernel always eligible).
+        self._fp_scale = float(self.renderer_kwargs.pop("pallas_fp_scale", 0.8))
         self._tile_override = self.renderer_kwargs.pop("pallas_tile", None)
         self._cache_volume = bool(cache_volume)
         self._plan_pallas()
@@ -250,9 +255,14 @@ class DRR:
                 ky = -(-(fp(tile, spacing[other[0]]) + 18) // 16) * 16
                 # Compute window (zc) must cover the footprint; the DMA
                 # window (zw) additionally absorbs up to 127 lanes of
-                # 128-alignment slack and must itself be a multiple of 128.
+                # 128-alignment slack, must be a multiple of 128, AND must
+                # be a power-of-two multiple of 128 — Mosaic's dynamic
+                # lane roll silently miscompiles at widths like 384 on
+                # real hardware (_validate_z_window).
                 zc = max(64, -(-(fp(tile, spacing[other[1]]) + 2) // 64) * 64)
-                zw = -(-(zc + 127) // 128) * 128
+                zw = 128
+                while zw < zc + 127:
+                    zw *= 2
                 if ky > 256:
                     continue
                 # Per-ray-per-plane cost model; components shared with the
@@ -272,7 +282,9 @@ class DRR:
                 tile = int(self._tile_override)
                 ky = -(-(fp(tile, spacing[other[0]]) + 18) // 16) * 16
                 zc = max(64, -(-(fp(tile, spacing[other[1]]) + 2) // 64) * 64)
-                zw = -(-(zc + 127) // 128) * 128
+                zw = 128
+                while zw < zc + 127:
+                    zw *= 2
             cfgs.append((tile, ky, zw, zc))
         self.pallas_cfg = tuple(cfgs)
         self.pallas_ok = all(c is not None for c in cfgs)
@@ -567,9 +579,9 @@ class DRR:
             # exact Siddon with channels stays on the XLA oracle.
             return False
         if self.renderer_name == "siddon":
-            # "max" (MIP) runs the kernel forward (per-segment maxima,
-            # same semantics as the sorted oracle); backward routes through
-            # the oracle's VJP.
+            # "max" (MIP) runs fully in-kernel: the forward tracks each
+            # ray's argmax (slab, segment) and the analytic backward
+            # kernels gate on it (max's subgradient).
             return (
                 opts.get("mode", "nearest") == "nearest"
                 and opts.get("reducefn", "sum") in ("sum", "max")
@@ -588,8 +600,8 @@ class DRR:
                 and opts.get("alphamax") is None
             )
         if self.renderer_name == "joseph":
-            # "max" (MIP) runs the kernel forward; its backward routes
-            # through the XLA oracle's VJP (ops/pallas/joseph.py).
+            # "max" (MIP) runs fully in-kernel (argmax-gated analytic
+            # backward, ops/pallas/joseph.py).
             return opts.get("reducefn", "sum") in ("sum", "max")
         return False
 
@@ -653,6 +665,21 @@ class DRR:
             resident = opts.pop("resident", None)
             reducefn = opts.pop("reducefn", "sum")
             eps = opts.pop("eps", 1e-8)
+            if (self.renderer_name == "trilinear"
+                    and not allow_oversample
+                    and n_points > self.density.shape[
+                        axis if axis is not None else self.march_axis]):
+                import warnings
+
+                warnings.warn(
+                    f"trilinear kernel caps n_points={n_points} at one "
+                    f"sample per plane "
+                    f"({self.density.shape[axis if axis is not None else self.march_axis]}); "
+                    f"accuracy is already saturated there — pass "
+                    f"allow_oversample=True to honor n_points literally "
+                    f"(reference semantics, proportionally slower)",
+                    stacklevel=3,
+                )
             # Reject anything left over beyond the keys the capability gate
             # validated: on the XLA path a typo'd kwarg raises a TypeError
             # from the renderer, and the kernel path must not silently
@@ -673,64 +700,20 @@ class DRR:
             # forward passes the known answer via _density_is_stored.
             cached = density_is_stored or density is self.density
 
-            def render_axis(ax):
-                tile, ky, zw, zc = self.pallas_cfg[ax]
-                common = dict(
-                    image_shape=(H, W),
-                    voxel_shift=self.voxel_shift,
-                    eps=eps,
-                    tile=tile, ky=ky, zw=zw, zc=zc,
-                    precision=self.pallas_precision,
-                    storage=self.pallas_storage,
-                    prepped_vol=self._pvols[ax] if cached else None,
-                    resident=resident,
-                )
-                if mask_to_channels:
-                    common["mask"] = self.mask
-                    common["n_channels"] = self.n_channels
-                if self.renderer_name == "joseph":
-                    from .ops.pallas.joseph import joseph_pallas_raycast
-
-                    ax_step = step if step is not None else self.joseph_steps[ax]
-                    return partial(joseph_pallas_raycast, axis=ax,
-                                   step=ax_step, reducefn=reducefn, **common)
-                if self.renderer_name == "trilinear":
-                    from .ops.pallas.raymarch import raymarch_pallas_raycast
-
-                    return partial(raymarch_pallas_raycast, axis=ax,
-                                   n_points=n_points,
-                                   allow_oversample=allow_oversample,
-                                   reducefn=reducefn, **common)
-                from .ops.pallas.siddon import siddon_pallas_raycast
-
-                return partial(siddon_pallas_raycast, axis=ax,
-                               reducefn=reducefn, **common)
-
             slab_guard = opts.pop("slab_guard", True)
             guarded = self.renderer_name == "siddon" and slab_guard
             # Footprint guard: static windows are sized for a conservative
             # worst-case magnification; a pose that exceeds them (volume
             # pushed past the detector, strongly oblique rays with an
             # explicit axis, or an aggressive pallas_fp_scale) would
-            # silently clip peripheral samples. The probe is exact, so it
-            # is ALWAYS safe to shrink windows via pallas_fp_scale — such
-            # poses fall back to the XLA oracles instead. Defaults on
-            # whenever windows were shrunk below the conservative bound.
+            # silently clip peripheral samples. The exact per-(tile, plane)
+            # fit bit is computed inside the SAME plane scan that places
+            # the kernel windows (zero extra passes), so the guard is free
+            # and defaults ON; failing poses render through the XLA oracle
+            # fallback instead.
             fp_guard = opts.pop("footprint_guard", None)
             if fp_guard is None:
-                fp_guard = self._fp_scale < 1.0
-
-            def probe_fits(ax):
-                from .ops.pallas.joseph import footprint_fits
-
-                tile, ky, zw, zc = self.pallas_cfg[ax]
-                return footprint_fits(
-                    source, target, weights, dims=self.density.shape,
-                    image_shape=(H, W), axis=ax, tile=tile, ky=ky, zw=zw,
-                    zc=zc, voxel_shift=self.voxel_shift,
-                    quadrature=("siddon" if self.renderer_name == "siddon"
-                                else "joseph"),
-                )
+                fp_guard = True
 
             def xla_fallback(density, source, target, weights):
                 # Slab-validity escape for exact Siddon: a ray whose
@@ -830,45 +813,54 @@ class DRR:
                 r = jnp.where(same_sign, r, 1e12)
                 return jnp.max(r, axis=0)  # (3,)
 
-            if axis is not None:
-                fn = render_axis(axis)
-                pred = None
-                if guarded:
-                    pred = worst_ratios()[axis] <= 1.0 + 1e-6
-                if fp_guard:
-                    fits = probe_fits(axis)
-                    pred = fits if pred is None else (pred & fits)
-                if pred is None:
-                    return fn(density, source, target, weights)
-                return jax.lax.cond(
-                    pred, fn, xla_fallback, density, source, target, weights,
+            ratios = worst_ratios() if (guarded or axis is None) else None
+
+            def render_axis(ax):
+                tile, ky, zw, zc = self.pallas_cfg[ax]
+                common = dict(
+                    image_shape=(H, W),
+                    voxel_shift=self.voxel_shift,
+                    eps=eps,
+                    tile=tile, ky=ky, zw=zw, zc=zc,
+                    precision=self.pallas_precision,
+                    storage=self.pallas_storage,
+                    prepped_vol=self._pvols[ax] if cached else None,
+                    resident=resident,
+                    footprint_guard=fp_guard,
+                    guard_pred=(ratios[ax] <= 1.0 + 1e-6) if guarded
+                    else None,
+                    fallback=(xla_fallback if (fp_guard or guarded)
+                              else None),
                 )
+                if mask_to_channels:
+                    common["mask"] = self.mask
+                    common["n_channels"] = self.n_channels
+                if self.renderer_name == "joseph":
+                    from .ops.pallas.joseph import joseph_pallas_raycast
+
+                    ax_step = step if step is not None else self.joseph_steps[ax]
+                    return partial(joseph_pallas_raycast, axis=ax,
+                                   step=ax_step, reducefn=reducefn, **common)
+                if self.renderer_name == "trilinear":
+                    from .ops.pallas.raymarch import raymarch_pallas_raycast
+
+                    return partial(raymarch_pallas_raycast, axis=ax,
+                                   n_points=n_points,
+                                   allow_oversample=allow_oversample,
+                                   reducefn=reducefn, **common)
+                from .ops.pallas.siddon import siddon_pallas_raycast
+
+                return partial(siddon_pallas_raycast, axis=ax,
+                               reducefn=reducefn, **common)
+
+            if axis is not None:
+                return render_axis(axis)(density, source, target, weights)
             # Pick the axis minimizing the worst-ray ratio (the safest choice
             # for the Siddon slab-validity bound and the Joseph quadrature
-            # skew).
-            ratios = worst_ratios()
+            # skew). Each branch carries its own guard + fallback.
             idx = jnp.argmin(ratios)
-
-            def pallas_switch(density, source, target, weights):
-                return jax.lax.switch(
-                    idx, [render_axis(a) for a in range(3)],
-                    density, source, target, weights,
-                )
-
-            pred = None
-            if guarded:
-                pred = ratios[idx] <= 1.0 + 1e-6
-            if fp_guard:
-                def probe_branch(a):
-                    return lambda _: probe_fits(a)
-
-                fits = jax.lax.switch(
-                    idx, [probe_branch(a) for a in range(3)], 0)
-                pred = fits if pred is None else (pred & fits)
-            if pred is None:
-                return pallas_switch(density, source, target, weights)
-            return jax.lax.cond(
-                pred, pallas_switch, xla_fallback,
+            return jax.lax.switch(
+                idx, [render_axis(a) for a in range(3)],
                 density, source, target, weights,
             )
 

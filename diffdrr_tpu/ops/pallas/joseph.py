@@ -147,18 +147,30 @@ def _validate_z_window(volume_shape, axis, zw, zc):
     padded extent, where the start clamp forces ``zshift == 0`` (then
     ``zc == zw`` is fine). Anything else silently samples rolled-in garbage
     lanes (measured 43% error at zw=zc=128 on a 320-extent volume).
+
+    Additionally, whenever a dynamic lane roll runs (``zc != zw``), ``zw``
+    must be a POWER-OF-TWO multiple of 128: Mosaic's dynamic
+    ``pltpu.roll`` silently miscompiles on non-power-of-two lane counts on
+    real v5e hardware (measured: every nonzero shift wrong at width 384,
+    exact at 256/512; interpret mode hides it).
     """
     other = tuple(d for d in range(3) if d != axis)
     Zp = max(zw, -(-volume_shape[other[1]] // 128) * 128)
     # zw >= Zp: the DMA window spans the whole padded extent, the start
     # clamps to 0, and zshift + zc <= (Zp - zc) + zc <= zw — any zc is safe.
-    if zc + 127 <= zw or zw >= Zp:
-        return
-    raise ValueError(
-        f"invalid z windows zc={zc}, zw={zw} for transverse extent "
-        f"{volume_shape[other[1]]} (padded {Zp}): need zc + 127 <= zw "
-        f"(roll headroom) or zw >= the padded extent"
-    )
+    if not (zc + 127 <= zw or zw >= Zp):
+        raise ValueError(
+            f"invalid z windows zc={zc}, zw={zw} for transverse extent "
+            f"{volume_shape[other[1]]} (padded {Zp}): need zc + 127 <= zw "
+            f"(roll headroom) or zw >= the padded extent"
+        )
+    lanes = zw // 128
+    if zc != zw and (lanes & (lanes - 1)) != 0:
+        raise ValueError(
+            f"zw={zw} needs a dynamic lane roll (zc={zc} != zw) but is not "
+            f"a power-of-two multiple of 128; Mosaic's dynamic roll "
+            f"miscompiles silently at such widths on TPU hardware"
+        )
 
 
 def _roll_window(win, zshift, zc):
@@ -363,21 +375,30 @@ def _fwd_kernel(
             lab_prefetch(nxt, p + 1, hi)
 
         _, _, _, scale, ry, rz = _plane_geometry(r, p, h, starts_ref)
-        wz = _tent(rz - iota_z) * scale  # (ZC, TR)
+        # Per-ray quadrature scale applied AFTER the y-reduce: the matmul and
+        # tent builds stay unscaled ((1, TR) multiply instead of (ZC, TR)).
+        wz = _tent(rz - iota_z)  # (ZC, TR)
         wy = _tent(ry - iota_y)  # (KY, TR)
 
         win = _blend_win(win_fetch(slot, p), p, h, n_src, blend)
         win = _roll_window(win, starts_ref[0, p, 2], zc)  # (KY, ZC)
 
         t1 = _dot(win, wz, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
-        contrib = jnp.sum(t1 * wy, axis=0, keepdims=True)  # (1, TR)
+        contrib = jnp.sum(t1 * wy, axis=0, keepdims=True) * scale  # (1, TR)
         if n_ch is None:
             if reduce == "max":
                 # Maximum intensity projection: matches the XLA oracle's
                 # reduce over per-plane contributions (out-of-slab planes
                 # contribute 0 there too, so the 0 init agrees whenever any
                 # sample is out-of-slab or the density is nonnegative).
-                acc_ref[...] = jnp.maximum(acc_ref[...], contrib)
+                # Rows: [0] running max, [1] argmax plane (the backward
+                # kernels gate on it; first maximum wins on exact ties —
+                # measure-zero at generic poses, like the tent-kink
+                # subgradients).
+                better = contrib > acc_ref[0:1, :]
+                acc_ref[1:2, :] = jnp.where(
+                    better, p.astype(jnp.float32), acc_ref[1:2, :])
+                acc_ref[0:1, :] = jnp.where(better, contrib, acc_ref[0:1, :])
             else:
                 acc_ref[...] += contrib
         else:
@@ -389,6 +410,10 @@ def _fwd_kernel(
             acc_ref[...] += _channel_select(lab, acc_ref.shape[0], tr) * contrib
         return ()
 
+    if reduce == "max":
+        # Row 1 (argmax plane) init -1: rays that never beat 0 gate every
+        # backward plane off (zero gradient, matching a 0-valued max).
+        acc_ref[1:2, :] = jnp.full_like(acc_ref[1:2, :], -1.0)
     jax.lax.fori_loop(lo, hi, body, (), unroll=False)
     out_ref[...] = acc_ref[...]
 
@@ -400,6 +425,7 @@ def _fwd_kernel(
 
 def _bwd_rays_kernel(
     *refs, h, ky, zw, zc, precision, blend, n_ch=None, resident=False,
+    mip=False,
 ):
     """Accumulate d(loss)/d(packed ray rows) for one ray tile.
 
@@ -412,10 +438,19 @@ def _bwd_rays_kernel(
     In scalar mode the per-ray output cotangent g is constant across planes
     and applied once at the end; in channel mode each plane's terms are
     scaled by the cotangent of the channel its sample lands in (g-select).
+
+    ``mip=True`` (reducefn="max" backward): an extra (1, TR) input carries
+    each ray's forward argmax plane; every plane's terms are gated by
+    ``p == argmax`` so only the winning sample contributes — the in-kernel
+    equivalent of max's subgradient.
     """
     if n_ch is None:
-        (starts_ref, rays_ref, g_ref, vol_ref, dout_ref,
-         win_buf, acc_ref, sems) = refs
+        if mip:
+            (starts_ref, rays_ref, g_ref, pbest_ref, vol_ref, dout_ref,
+             win_buf, acc_ref, sems) = refs
+        else:
+            (starts_ref, rays_ref, g_ref, vol_ref, dout_ref,
+             win_buf, acc_ref, sems) = refs
     else:
         (starts_ref, rays_ref, g_ref, vol_ref, lab_ref, dout_ref,
          win_buf, lab_buf, acc_ref, sems, lab_sems) = refs
@@ -470,6 +505,13 @@ def _bwd_rays_kernel(
         drz = jnp.sum(wy * t3, axis=0, keepdims=True) * scale
         dsc = jnp.sum(wy * t4, axis=0, keepdims=True)
         dsc = jnp.where(inslab, dsc, 0.0)
+
+        if mip:
+            sel = (p.astype(jnp.float32) == pbest_ref[0:1, :]).astype(
+                jnp.float32)
+            dry = dry * sel
+            drz = drz * sel
+            dsc = dsc * sel
 
         if n_ch is not None:
             lab = _sample_labels(lab_fetch(slot, p), p, h, n_src, blend,
@@ -553,7 +595,7 @@ def _rmw_double_buffered(lo, hi, load_dma, store_dma, win_buf, dwin_buf,
 
 
 def _bwd_vol_kernel(
-    *refs, h, ky, zw, zc, precision, blend, n_ch=None,
+    *refs, h, ky, zw, zc, precision, blend, n_ch=None, mip=False,
 ):
     """Accumulate d(loss)/d(volume): dWin = (wy * g) @ (wz*scale)^T per plane,
     read-modify-written into the aliased gradient volume.
@@ -562,10 +604,16 @@ def _bwd_vol_kernel(
     pipeline double-buffers (``_rmw_double_buffered``). Blend mode: adjacent
     plane-pair windows overlap in one plane, so each store completes before
     the next load issues (serialized RMW). Channel mode replaces the constant
-    per-ray g with the per-plane channel-selected cotangent."""
+    per-ray g with the per-plane channel-selected cotangent. ``mip=True``
+    gates each plane's cotangent by ``p == argmax`` (see _bwd_rays_kernel).
+    """
     if n_ch is None:
-        (starts_ref, rays_ref, g_ref, vol_ref, dvol_in_ref,
-         dvol_ref, win_buf, dwin_buf, sems, store_sems) = refs
+        if mip:
+            (starts_ref, rays_ref, g_ref, pbest_ref, vol_ref, dvol_in_ref,
+             dvol_ref, win_buf, dwin_buf, sems, store_sems) = refs
+        else:
+            (starts_ref, rays_ref, g_ref, vol_ref, dvol_in_ref,
+             dvol_ref, win_buf, dwin_buf, sems, store_sems) = refs
         lab_ref = lab_buf = lab_sems = None
     else:
         (starts_ref, rays_ref, g_ref, vol_ref, lab_ref,
@@ -613,6 +661,9 @@ def _bwd_vol_kernel(
         _, _, _, scale, ry, rz = _plane_geometry(r, p, h, starts_ref)
         if n_ch is None:
             gp = g
+            if mip:
+                gp = gp * (p.astype(jnp.float32) == pbest_ref[0:1, :]
+                           ).astype(jnp.float32)
         else:
             lab_dma(jax.lax.rem(p - lo, 2), p).wait()
             lab = _sample_labels(lab_buf[jax.lax.rem(p - lo, 2)], p, h, n_src,
@@ -697,6 +748,40 @@ def _plan_tiles_cached(height, width, tile):
     return plan_tiles(height, width, tile)
 
 
+@functools.lru_cache(maxsize=64)
+def _make_tile_gather(height, width, tile):
+    """Row-major -> tile-order gather with an EXACT inverse-permutation VJP.
+
+    XLA's autodiff of a gather emits a scatter-add; because ``perm`` is a
+    permutation with -1 padding (every real index appears exactly once), the
+    linear transpose is just a gather by the inverse permutation with padded
+    columns dropped. Keeps the registration backward free of TPU scatters.
+    """
+    # All index tables are built in NumPy: the factory is lru_cached, so a
+    # traced op here (e.g. jnp.maximum) would leak its tracer into later
+    # traces through the cached closure.
+    perm, _, _ = _plan_tiles_cached(height, width, tile)
+    safe = np.maximum(perm, 0)
+    pad_col = np.asarray(perm < 0)
+    inv = np.zeros(height * width, np.int64)
+    inv[perm[perm >= 0]] = np.nonzero(perm >= 0)[0]
+    inv_j = np.asarray(inv)
+
+    @jax.custom_vjp
+    def gather(rays_b):  # (R, B, N) -> (R, B, padded), pad cols zeroed
+        out = rays_b[:, :, safe]
+        return jnp.where(pad_col[None, None, :], 0.0, out)
+
+    def fwd(rays_b):
+        return gather(rays_b), ()
+
+    def bwd(_, g):
+        return (g[:, :, inv_j],)
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
 def _prep_vol(volume, perm3, ky, zw, storage=None, xpad=0):
     vol = jnp.transpose(volume, perm3)
     if storage == "bf16":
@@ -761,11 +846,9 @@ def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
 
     perm, n_tiles_img, padded = _plan_tiles_cached(H, W, tile)
     perm_j = jnp.asarray(perm)
-    safe = jnp.maximum(perm_j, 0)
 
     rays_b = rays.reshape(_NROWS, B, N)
-    out = rays_b[:, :, safe]  # (_NROWS, B, padded)
-    out = jnp.where(perm_j[None, None, :] >= 0, out, 0.0)
+    out = _make_tile_gather(H, W, tile)(rays_b)  # (_NROWS, B, padded)
     # Padding rays must be NEUTRAL: an empty slab interval (amin > amax)
     # keeps them out of the window minima, the active-range table, and the
     # integral (zeroed columns would otherwise read as "in-slab at alpha=0"
@@ -979,7 +1062,10 @@ def _fwd_call(vol, rays_tiled, starts, lab, *, n_tiles, TR, n_planes,
         _fwd_kernel, h=h, ky=ky, zw=zw, zc=zc, precision=precision,
         blend=blend, n_ch=n_ch, resident=resident, reduce=reduce,
     )
-    rows = 1 if n_ch is None else -(-n_ch // 8) * 8
+    if n_ch is None:
+        rows = 2 if reduce == "max" else 1  # max: [value; argmax plane]
+    else:
+        rows = -(-n_ch // 8) * 8
     lab_in = [] if n_ch is None else [pl.BlockSpec(memory_space=pl.ANY)]
     lab_scratch = [] if n_ch is None else [
         _win_scratch(lab, ky, zw, blend, resident)]
@@ -1007,17 +1093,21 @@ def _fwd_call(vol, rays_tiled, starts, lab, *, n_tiles, TR, n_planes,
 
 def _bwd_rays_call(vol, rays_tiled, starts, g_tiled, lab, *, n_tiles,
                    TR, n_planes, h, ky, zw, zc, precision, blend, n_ch,
-                   resident, interpret):
+                   resident, interpret, pbest=None):
+    mip = pbest is not None
     kernel = functools.partial(
         _bwd_rays_kernel, h=h, ky=ky, zw=zw, zc=zc, precision=precision,
-        blend=blend, n_ch=n_ch, resident=resident,
+        blend=blend, n_ch=n_ch, resident=resident, mip=mip,
     )
     rows = 1 if n_ch is None else -(-n_ch // 8) * 8
+    pb_in = [pl.BlockSpec((1, TR), lambda t: (0, t),
+                          memory_space=pltpu.VMEM)] if mip else []
     lab_in = [] if n_ch is None else [pl.BlockSpec(memory_space=pl.ANY)]
     lab_scratch = [] if n_ch is None else [
         _win_scratch(lab, ky, zw, blend, resident)]
     lab_sems = [] if n_ch is None else [pltpu.SemaphoreType.DMA((2,))]
-    args = (starts, rays_tiled, g_tiled, vol) + (
+    args = (starts, rays_tiled, g_tiled) + (
+        (pbest,) if mip else ()) + (vol,) + (
         () if n_ch is None else (lab,))
     return pl.pallas_call(
         kernel,
@@ -1025,6 +1115,7 @@ def _bwd_rays_call(vol, rays_tiled, starts, g_tiled, lab, *, n_tiles,
         in_specs=_common_specs(n_planes, TR) + [
             pl.BlockSpec((rows, TR), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
+        ] + pb_in + [
             pl.BlockSpec(memory_space=pl.ANY),
         ] + lab_in,
         out_specs=pl.BlockSpec((_NROWS, TR), lambda t: (0, t),
@@ -1043,31 +1134,36 @@ def _bwd_rays_call(vol, rays_tiled, starts, g_tiled, lab, *, n_tiles,
 
 def _bwd_vol_call(vol, rays_tiled, starts, g_tiled, lab, *, n_tiles,
                   TR, n_planes, h, ky, zw, zc, precision, blend, n_ch,
-                  resident, interpret):
+                  resident, interpret, pbest=None):
     # The volume-gradient kernel always streams windows: its read-modify-
     # write target is the f32 gradient volume, which at resident-worthy
     # volume sizes does not fit VMEM.
     del resident
+    mip = pbest is not None
     kernel = functools.partial(
         _bwd_vol_kernel, h=h, ky=ky, zw=zw, zc=zc, precision=precision,
-        blend=blend, n_ch=n_ch,
+        blend=blend, n_ch=n_ch, mip=mip,
     )
     xp = 2 if blend else 1
     rows = 1 if n_ch is None else -(-n_ch // 8) * 8
     dvol_init = jnp.zeros(vol.shape, jnp.float32)
+    pb_in = [pl.BlockSpec((1, TR), lambda t: (0, t),
+                          memory_space=pltpu.VMEM)] if mip else []
     lab_in = [] if n_ch is None else [pl.BlockSpec(memory_space=pl.ANY)]
     lab_scratch = [] if n_ch is None else [
         pltpu.VMEM((2, xp, ky, zw), lab.dtype)]
     lab_sems = [] if n_ch is None else [pltpu.SemaphoreType.DMA((2,))]
-    args = (starts, rays_tiled, g_tiled, vol) + (
+    args = (starts, rays_tiled, g_tiled) + (
+        (pbest,) if mip else ()) + (vol,) + (
         () if n_ch is None else (lab,)) + (dvol_init,)
-    alias_idx = 4 if n_ch is None else 5
+    alias_idx = (4 if n_ch is None else 5) + (1 if mip else 0)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=_common_specs(n_planes, TR) + [
             pl.BlockSpec((rows, TR), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
+        ] + pb_in + [
             pl.BlockSpec(memory_space=pl.ANY),  # fwd volume (unused)
         ] + lab_in + [
             pl.BlockSpec(memory_space=pl.ANY),  # dvol accumulator (aliased)
@@ -1143,26 +1239,55 @@ def _tile_permutes(perm, B, N, TR, n_tiles_img, n_ch=None):
     return untile, tile_g
 
 
+
+
+def _padded_transverse(dims, axis, ky, zw):
+    """(Yp, Zp) extents of the permuted volume AFTER _prep_vol padding."""
+    other = tuple(d for d in range(3) if d != axis)
+    Yp = max(dims[other[0]], ky)
+    Zp = max(-(-dims[other[1]] // 128) * 128, zw)
+    return Yp, Zp
+
+
+def _int_zeros_cotangent(x):
+    """float0 cotangent for an integer-dtype primal (custom_vjp contract)."""
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
 @functools.lru_cache(maxsize=64)
 def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
                  ky, zw, zc, precision, storage, interpret,
                  use_prepped=False, n_ch=None, resident=False, reduce="sum"):
-    """Build the custom-VJP render function for one static configuration.
+    """Build the custom-VJP render core for one static configuration.
+
+    The VJP boundary sits at PRE-PACKED tiled rays:
+    ``core(volume, rays_tiled, starts, prepped, mask) -> (B, C, N)`` in
+    row-major detector order. Ray packing (``_prep_rays``, differentiable
+    XLA) and window planning (``_compute_starts``, integer tables) run in
+    the caller — ONCE per render, shared with the footprint-fit guard, and
+    XLA autodiff chains the returned ``rays_tiled`` cotangent back to
+    (source, target, weights) through the packing (its tile gather carries
+    an exact inverse-permutation VJP, no scatter).
 
     ``h`` is the (possibly fractional) marching stride in planes; sampling
     positions along the axis are ``p * h`` for ``p in [0, n_steps)``. Integer
     ``h`` uses single-plane windows; fractional ``h`` lerps plane pairs.
 
-    ``use_prepped``: the render function takes an additional trailing
-    ``prepped`` argument — the already permuted/padded/cast volume (the DRR
-    caches one per axis) — and skips ``_prep_vol``. Gradients are still
-    attributed to the raw ``volume`` argument (the caller maintains the
-    invariant ``prepped == _prep_vol(volume)``); the ``prepped`` cotangent is
-    symbolic zero.
+    ``use_prepped``: ``prepped`` carries the already permuted/padded/cast
+    volume (the DRR caches one per axis) and ``_prep_vol`` is skipped.
+    Gradients are still attributed to the raw ``volume`` argument (the
+    caller maintains ``prepped == _prep_vol(volume)``); the ``prepped``
+    cotangent is symbolic zero.
 
     ``n_ch``: per-structure channel rendering (reference renderers.py:74-89):
     each sample's contribution lands in the channel given by its
     nearest-voxel label in the mask argument; output is (B, n_ch, N).
+
+    ``reduce="max"`` (MIP): the forward kernel tracks each ray's argmax
+    plane alongside the running maximum; backward runs the SAME analytic
+    kernels gated to that plane (max's subgradient), staying on the kernel
+    path end to end (reference semantics: renderers.py:175-183). First
+    maximum wins on exact ties — measure-zero at generic poses.
     """
     H, W = image_shape
     other = tuple(d for d in range(3) if d != axis)
@@ -1172,119 +1297,70 @@ def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
     xpad = 1 if blend else 0
     perm, n_tiles_img, padded = _plan_tiles_cached(H, W, tile)
     TR = tile * tile
-
-    def prepare(volume, source, target, weights, prepped, mask):
-        B, N, _ = target.shape
-        if use_prepped:
-            vol = prepped
-        else:
-            vol = _prep_vol(volume, perm3, ky, zw, storage, xpad)
-        lab = (None if n_ch is None
-               else _prep_vol(mask, perm3, ky, zw, storage, xpad))
-        rays_tiled = _prep_rays(
-            source, target, weights, perm3, dims, H, W, tile, voxel_shift,
-            h, eps,
-        )
-        n_tiles = B * n_tiles_img
-        starts = _compute_starts(
-            rays_tiled, n_tiles, TR, n_steps, h, vol.shape[1],
-            vol.shape[2], ky, zw, zc,
-        )
-        return vol, lab, rays_tiled, starts
+    N = H * W
+    mip = reduce == "max"
 
     kw = dict(TR=TR, n_planes=n_steps, h=h, ky=ky, zw=zw, zc=zc,
               precision=precision, blend=blend, n_ch=n_ch,
               resident=resident, interpret=interpret)
 
-    def run_fwd(vol, lab, rays_tiled, starts, B, N):
+    def _vols(volume, prepped, mask):
+        vol = prepped if use_prepped else _prep_vol(
+            volume, perm3, ky, zw, storage, xpad)
+        lab = (None if n_ch is None
+               else _prep_vol(mask, perm3, ky, zw, storage, xpad))
+        return vol, lab
+
+    def _run_fwd(vol, lab, rays_tiled, starts, B):
         n_tiles = rays_tiled.shape[1] // TR
         out = _fwd_call(vol, rays_tiled, starts, lab,
                         n_tiles=n_tiles, reduce=reduce, **kw)
         untile, _ = _tile_permutes(perm, B, N, TR, n_tiles_img, n_ch)
-        return untile(out)
+        if mip:
+            return untile(out[0:1]), out[1:2]  # (value, argmax plane row)
+        return untile(out), None
 
     @jax.custom_vjp
-    def render(volume, source, target, weights, prepped, mask):
-        B, N, _ = target.shape
-        vol, lab, rays_tiled, starts = prepare(
-            volume, source, target, weights, prepped, mask)
-        return run_fwd(vol, lab, rays_tiled, starts, B, N)
+    def core(volume, rays_tiled, starts, prepped, mask):
+        B = rays_tiled.shape[1] // padded
+        vol, lab = _vols(volume, prepped, mask)
+        out, _ = _run_fwd(vol, lab, rays_tiled, starts, B)
+        return out
 
-    def render_fwd(volume, source, target, weights, prepped, mask):
-        B, N, _ = target.shape
-        vol, lab, rays_tiled, starts = prepare(
-            volume, source, target, weights, prepped, mask)
-        out = run_fwd(vol, lab, rays_tiled, starts, B, N)
-        if reduce == "max":
-            # Max backward routes through the XLA oracle's VJP (see
-            # render_bwd): keep only the raw inputs (no prepped residuals).
-            return out, (volume, source, target, weights)
+    def core_fwd(volume, rays_tiled, starts, prepped, mask):
+        B = rays_tiled.shape[1] // padded
+        vol, lab = _vols(volume, prepped, mask)
+        out, pbest = _run_fwd(vol, lab, rays_tiled, starts, B)
         # The prepared arrays ride as residuals: backward never re-runs the
         # window-start precompute or the volume transpose.
-        return out, (vol, lab, rays_tiled, starts, source, target, weights)
+        return out, (vol, lab, rays_tiled, starts, pbest)
 
-    def render_bwd(res, g):
-        if reduce == "max":
-            # MIP gradients flow through the argmax plane only; rather than
-            # teaching the three analytic-VJP kernels argmax recomputation,
-            # backward differentiates the XLA oracle (identical quadrature).
-            # MIP is overwhelmingly a forward/visualization workload — the
-            # kernel still serves the hot forward path.
-            from ..joseph import joseph_raycast
-
-            volume, source, target, weights = res
-            _, vjp = jax.vjp(
-                lambda v, s, t, w: joseph_raycast(
-                    v, s, t, w, axis=axis, step=h, n_steps=n_steps,
-                    voxel_shift=voxel_shift, reducefn="max", eps=eps,
-                ),
-                volume, source, target, weights,
-            )
-            d_vol, d_source, d_target, d_weights = vjp(g)
-            # Zero cotangents from STATIC shapes — carrying the prepped
-            # volume as a residual just to zeros_like it would pin tens of
-            # MB of HBM across the backward.
-            Yp = max(dims[other[0]], ky)
-            Zp = max(-(-dims[other[1]] // 128) * 128, zw)
-            pdtype = jnp.bfloat16 if storage == "bf16" else jnp.float32
-            d_prepped = (jnp.zeros((dims[axis] + xpad, Yp, Zp), pdtype)
-                         if use_prepped else jnp.zeros((0,), jnp.float32))
-            d_mask = (jnp.zeros(dims, jnp.float32) if n_ch is not None
-                      else jnp.zeros((0,), jnp.float32))
-            return (d_vol, d_source, d_target, d_weights, d_prepped, d_mask)
-
-        vol, lab, rays_tiled, starts, source, target, weights = res
-        B, N, _ = target.shape
+    def core_bwd(res, g):
+        vol, lab, rays_tiled, starts, pbest = res
+        B = rays_tiled.shape[1] // padded
         n_tiles = rays_tiled.shape[1] // TR
         _, tile_g = _tile_permutes(perm, B, N, TR, n_tiles_img, n_ch)
         g_tiled = tile_g(g)
 
-        d_rays = _bwd_rays_call(vol, rays_tiled, starts, g_tiled,
-                                lab, n_tiles=n_tiles, **kw)
-        d_vol_p = _bwd_vol_call(vol, rays_tiled, starts, g_tiled,
-                                lab, n_tiles=n_tiles, **kw)
+        d_rays = _bwd_rays_call(vol, rays_tiled, starts, g_tiled, lab,
+                                n_tiles=n_tiles, pbest=pbest, **kw)
+        d_vol_p = _bwd_vol_call(vol, rays_tiled, starts, g_tiled, lab,
+                                n_tiles=n_tiles, pbest=pbest, **kw)
 
-        # Map packed-row cotangents back through the (differentiable) ray
-        # packing, and the padded/permuted volume back to the original.
-        _, vjp_rays = jax.vjp(
-            lambda s, t, w: _prep_rays(
-                s, t, w, perm3, dims, H, W, tile, voxel_shift, h, eps
-            ),
-            source, target, weights,
-        )
-        d_source, d_target, d_weights = vjp_rays(d_rays)
         Y0, Z0 = dims[other[0]], dims[other[1]]
         X0 = dims[axis]
         d_vol = jnp.transpose(d_vol_p[:X0, :Y0, :Z0], inv_perm3)
-        # Symbolic-zero cotangents for the cache and (integer-valued) mask.
+        # Symbolic-zero cotangents for the cache and (integer-valued) mask;
+        # float0 for the integer window table.
         d_prepped = (jnp.zeros_like(vol) if use_prepped
                      else jnp.zeros((0,), jnp.float32))
         d_mask = (jnp.zeros(dims, jnp.float32) if n_ch is not None
                   else jnp.zeros((0,), jnp.float32))
-        return d_vol, d_source, d_target, d_weights, d_prepped, d_mask
+        return (d_vol, d_rays, _int_zeros_cotangent(starts), d_prepped,
+                d_mask)
 
-    render.defvjp(render_fwd, render_bwd)
-    return render
+    core.defvjp(core_fwd, core_bwd)
+    return core
 
 
 def joseph_pallas_raycast(
@@ -1311,6 +1387,9 @@ def joseph_pallas_raycast(
     n_channels: Optional[int] = None,
     resident: Optional[bool] = None,
     reducefn: str = "sum",
+    footprint_guard: bool = False,
+    guard_pred=None,
+    fallback=None,
 ) -> jnp.ndarray:
     """Joseph plane-march render via Pallas TPU kernels, fwd + analytic bwd.
 
@@ -1334,11 +1413,19 @@ def joseph_pallas_raycast(
       resident: keep the whole volume (and labelmap) VMEM-resident in the
         fwd/bwd-rays kernels instead of streaming per-plane windows — ~2x
         kernel speedup when it fits (default: auto by VMEM budget).
+      footprint_guard / guard_pred / fallback: runtime dispatch guard.
+        ``footprint_guard=True`` computes the exact per-(tile, plane)
+        window-fit bit in the SAME plane scan that places the windows
+        (zero extra passes) and ANDs it with the optional scalar
+        ``guard_pred``; poses that fail render through
+        ``fallback(volume, source, target, weights)`` instead of silently
+        clipping peripheral samples. Requires ``fallback``.
 
     Returns (B, 1, N) line integrals ((B, C, N) with a mask). Differentiable
-    w.r.t. volume, source, target, and weights (analytic VJP kernels; the
-    volume-gradient pass is dead-code-eliminated when only pose gradients are
-    required).
+    w.r.t. volume, source, target, and weights (analytic VJP kernels,
+    including ``reducefn="max"`` via in-kernel argmax gating; the
+    volume-gradient pass is dead-code-eliminated when only pose gradients
+    are required).
     """
     B, N, _ = target.shape
     if weights is None:
@@ -1361,11 +1448,42 @@ def joseph_pallas_raycast(
     blend = abs(h - round(h)) > 1e-9
     resident = _resolve_resident(resident, volume, axis, ky, zw, blend,
                                  storage, mask, prepped_vol)
-    fn = _make_joseph(
-        volume.shape, tuple(image_shape), axis, h, int(n_steps), voxel_shift,
+    dims = volume.shape
+    other = tuple(d for d in range(3) if d != axis)
+    perm3 = (axis,) + other
+    H, W = image_shape
+    _, n_tiles_img, _ = _plan_tiles_cached(H, W, tile)
+    TR = tile * tile
+    Yp, Zp = _padded_transverse(dims, axis, ky, zw)
+
+    if (footprint_guard or guard_pred is not None) and fallback is None:
+        raise ValueError("footprint_guard/guard_pred require a fallback")
+
+    rays_tiled = _prep_rays(source, target, weights, perm3, dims, H, W,
+                            tile, voxel_shift, h, eps)
+    ret = _compute_starts(
+        rays_tiled, B * n_tiles_img, TR, int(n_steps), h, Yp, Zp, ky, zw,
+        zc, with_fit=footprint_guard,
+        y0=dims[other[0]], z0=dims[other[1]],
+    )
+    starts, fits = ret if footprint_guard else (ret, None)
+
+    core = _make_joseph(
+        dims, tuple(image_shape), axis, h, int(n_steps), voxel_shift,
         eps, tile, ky, zw, zc, precision, storage, interpret, use_prepped,
         n_ch, resident, reducefn,
     )
     prepped = prepped_vol if use_prepped else jnp.zeros((0,), jnp.float32)
     lab = mask if mask is not None else jnp.zeros((0,), jnp.float32)
-    return fn(volume, source, target, weights, prepped, lab)
+
+    pred = fits
+    if guard_pred is not None:
+        pred = guard_pred if pred is None else (pred & guard_pred)
+    if pred is None:
+        return core(volume, rays_tiled, starts, prepped, lab)
+    return jax.lax.cond(
+        pred,
+        lambda op: core(op[0], op[1], op[2], prepped, lab),
+        lambda op: fallback(op[0], op[3], op[4], op[5]),
+        (volume, rays_tiled, starts, source, target, weights),
+    )

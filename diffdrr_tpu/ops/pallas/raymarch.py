@@ -34,7 +34,7 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
-from .joseph import _make_joseph, _resolve_resident
+from .joseph import joseph_pallas_raycast
 
 __all__ = ["raymarch_pallas_raycast"]
 
@@ -63,6 +63,9 @@ def raymarch_pallas_raycast(
     n_channels: Optional[int] = None,
     resident: Optional[bool] = None,
     reducefn: str = "sum",
+    footprint_guard: bool = False,
+    guard_pred=None,
+    fallback=None,
 ) -> jnp.ndarray:
     """Trilinear ray-march render via Pallas plane-lerp kernels.
 
@@ -73,34 +76,19 @@ def raymarch_pallas_raycast(
     Returns (B, 1, N) line integrals, differentiable w.r.t. volume, source,
     target, and weights.
     """
-    B, N, _ = target.shape
-    if weights is None:
-        weights = jnp.ones((B, 1, N), volume.dtype)
-    if zc is None:
-        zc = zw - 128 if zw > 128 else zw
-    from .joseph import _validate_z_window
-    _validate_z_window(volume.shape, axis, zw, zc)
     X = volume.shape[axis]
     n_steps = int(n_points)
     if not allow_oversample:
         n_steps = min(n_steps, X)
     n_steps = max(n_steps, 2)
     h = (X - 1) / (n_steps - 1)
-    use_prepped = prepped_vol is not None
-    n_ch = int(n_channels) if mask is not None else None
-    if reducefn not in ("sum", "max"):
-        raise ValueError(
-            f"kernel path supports reducefn 'sum'/'max', got {reducefn!r}")
-    if n_ch is not None:
-        reducefn = "sum"  # channel renders always scatter-sum
-    blend = abs(h - round(h)) > 1e-9
-    resident = _resolve_resident(resident, volume, axis, ky, zw, blend,
-                                 storage, mask, prepped_vol)
-    fn = _make_joseph(
-        volume.shape, tuple(image_shape), axis, float(h), n_steps,
-        voxel_shift, eps, tile, ky, zw, zc, precision, storage, interpret,
-        use_prepped, n_ch, resident, reducefn,
+    return joseph_pallas_raycast(
+        volume, source, target, weights,
+        image_shape=image_shape, axis=axis, step=float(h), n_steps=n_steps,
+        voxel_shift=voxel_shift, eps=eps, tile=tile, ky=ky, zw=zw, zc=zc,
+        precision=precision, storage=storage, interpret=interpret,
+        prepped_vol=prepped_vol, mask=mask, n_channels=n_channels,
+        resident=resident, reducefn=reducefn,
+        footprint_guard=footprint_guard, guard_pred=guard_pred,
+        fallback=fallback,
     )
-    prepped = prepped_vol if use_prepped else jnp.zeros((0,), jnp.float32)
-    lab = mask if mask is not None else jnp.zeros((0,), jnp.float32)
-    return fn(volume, source, target, weights, prepped, lab)

@@ -74,13 +74,15 @@ from .joseph import (
 __all__ = ["siddon_pallas_raycast"]
 
 
-def _slab_segments(r, s, starts_ref):
+def _slab_segments(r, s, starts_ref, seg_gates=None):
     """Exact Siddon decomposition of slab ``s`` for every ray in the tile.
 
     Returns (C00, C01, C10, C11, ry0, rz0, aux) where C are segment-length
     weights (ray weight folded in), (ry0, rz0) the window-relative base voxel
     indices, and aux carries intermediates reused by the backward kernel.
-    All arrays are (1, TR).
+    All arrays are (1, TR). ``seg_gates`` (3 x (1, TR), optional) multiplies
+    each segment's weight — the MIP backward gates all but the argmax
+    segment to zero.
     """
     a, b = r["a"], r["b"]
     gy, dy, gz, dz = r["gy"], r["dy"], r["gz"], r["dz"]
@@ -120,13 +122,15 @@ def _slab_segments(r, s, starts_ref):
 
     C = [[jnp.zeros_like(alo) for _ in range(2)] for _ in range(2)]
     seg_sel = []  # (iy, iz) one-hot floats per segment, for the backward
-    for mid, length in zip(mids, lens):
+    for j, (mid, length) in enumerate(zip(mids, lens)):
         iy = jnp.round(gy + mid * dy) - y0  # 0.0 or 1.0
         iz = jnp.round(gz + mid * dz) - z0
         iy = jnp.clip(iy, 0.0, 1.0)
         iz = jnp.clip(iz, 0.0, 1.0)
         seg_sel.append((iy, iz))
         lw = length * w
+        if seg_gates is not None:
+            lw = lw * seg_gates[j]
         C[0][0] += lw * (1 - iy) * (1 - iz)
         C[1][0] += lw * iy * (1 - iz)
         C[0][1] += lw * (1 - iy) * iz
@@ -209,28 +213,35 @@ def _fwd_kernel(
             # MIP: max over the reference's per-segment contributions
             # (length x ray-weight x nearest voxel value). The oracle's sort
             # always carries zero-length boundary entries, so the 0 init
-            # agrees with it.
+            # agrees with it. Rows: [0] running max, [1] argmax encoded as
+            # slab*4 + segment (backward gates on it; first maximum wins on
+            # exact ties — measure-zero at generic poses).
             w = r["sc"]
-            cand = jnp.zeros_like(acc_ref[...])
-            for (iy, iz), length in zip(aux["seg_sel"], aux["lens"]):
+            sf = s.astype(jnp.float32)
+            for j, ((iy, iz), length) in enumerate(
+                    zip(aux["seg_sel"], aux["lens"])):
                 v_seg = (v00 * (1 - iy) * (1 - iz) + v10 * iy * (1 - iz)
                          + v01 * (1 - iy) * iz + v11 * iy * iz)
-                cand = jnp.maximum(cand, length * w * v_seg)
-            acc_ref[...] = jnp.maximum(acc_ref[...], cand)
+                val = length * w * v_seg
+                better = val > acc_ref[0:1, :]
+                acc_ref[1:2, :] = jnp.where(
+                    better, sf * 4.0 + j, acc_ref[1:2, :])
+                acc_ref[0:1, :] = jnp.where(better, val, acc_ref[0:1, :])
         else:
             acc_ref[...] += (
                 C[0][0] * v00 + C[1][0] * v10 + C[0][1] * v01 + C[1][1] * v11
             )
         return ()
 
+    if reduce == "max":
+        # Argmax row init -1: rays that never beat 0 gate backward off.
+        acc_ref[1:2, :] = jnp.full_like(acc_ref[1:2, :], -1.0)
     jax.lax.fori_loop(lo, hi, body, (), unroll=False)
     out_ref[...] = acc_ref[...]
 
 
 def _bwd_rays_kernel(
-    starts_ref, rays_ref, g_ref, vol_ref, dout_ref, win_buf,
-    acc_ref, sems,
-    *, ky, zw, zc, precision, resident=False,
+    *refs, ky, zw, zc, precision, resident=False, mip=False,
 ):
     """d(loss)/d(packed rays) for exact Siddon.
 
@@ -240,7 +251,18 @@ def _bwd_rays_kernel(
     chained through the clip/min/max selections to the alpha parameters and
     through them to (a, b, gy, dy, gz, dz). Voxel values are constant w.r.t.
     pose under nearest sampling (zero gradient), matching the reference.
+
+    ``mip=True`` (reducefn="max"): an extra (1, TR) input carries the
+    forward argmax (slab*4 + segment); gating V_j by its segment selector
+    turns the five breakpoint formulas above into exactly max's
+    subgradient — d(len_j* w V_j*) — with the same downstream routing.
     """
+    if mip:
+        (starts_ref, rays_ref, g_ref, pbest_ref, vol_ref, dout_ref,
+         win_buf, acc_ref, sems) = refs
+    else:
+        (starts_ref, rays_ref, g_ref, vol_ref, dout_ref,
+         win_buf, acc_ref, sems) = refs
     tr = rays_ref.shape[1]
     r = _ray_rows(rays_ref)
     iota_y2 = jax.lax.broadcasted_iota(
@@ -276,6 +298,13 @@ def _bwd_rays_kernel(
             )
         V1, V2, V3 = Vs
         w = r["sc"]
+
+        if mip:
+            sf4 = s.astype(jnp.float32) * 4.0
+            pb = pbest_ref[0:1, :]
+            V1 = V1 * (pb == sf4).astype(jnp.float32)
+            V2 = V2 * (pb == sf4 + 1.0).astype(jnp.float32)
+            V3 = V3 * (pb == sf4 + 2.0).astype(jnp.float32)
 
         d_t1 = w * (V1 - V2)
         d_t2 = w * (V2 - V3)
@@ -355,13 +384,18 @@ def _bwd_rays_kernel(
 
 
 def _bwd_vol_kernel(
-    starts_ref, rays_ref, g_ref, vol_ref, dvol_in_ref, dvol_ref,
-    win_buf, dwin_buf, sems, store_sems,
-    *, ky, zw, zc, precision,
+    *refs, ky, zw, zc, precision, mip=False,
 ):
     # d/d(volume) via the shared double-buffered RMW pipeline
     # (joseph._rmw_double_buffered); slab windows of distinct planes are
-    # disjoint, satisfying its disjointness requirement.
+    # disjoint, satisfying its disjointness requirement. ``mip=True`` gates
+    # every segment but the forward argmax (slab*4 + segment) to zero.
+    if mip:
+        (starts_ref, rays_ref, g_ref, pbest_ref, vol_ref, dvol_in_ref,
+         dvol_ref, win_buf, dwin_buf, sems, store_sems) = refs
+    else:
+        (starts_ref, rays_ref, g_ref, vol_ref, dvol_in_ref, dvol_ref,
+         win_buf, dwin_buf, sems, store_sems) = refs
     del vol_ref
     tr = rays_ref.shape[1]
     r = _ray_rows(rays_ref)
@@ -391,7 +425,12 @@ def _bwd_vol_kernel(
         )
 
     def compute_dwin(s):  # -> (1, KY, ZW), this slab's gradient window
-        C, ry0, rz0, _ = _slab_segments(r, s, starts_ref)
+        gates = None
+        if mip:
+            sf4 = s.astype(jnp.float32) * 4.0
+            pb = pbest_ref[0:1, :]
+            gates = [(pb == sf4 + j).astype(jnp.float32) for j in range(3)]
+        C, ry0, rz0, _ = _slab_segments(r, s, starts_ref, seg_gates=gates)
         wz, ey2, eyr = _paired_onehots(iota_y2, iota_z2, ry0, rz0)
 
         # wyA @ wzA^T + wyB @ wzB^T as ONE contraction over the doubled ray
@@ -420,6 +459,16 @@ def _bwd_vol_kernel(
 def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
                  precision, storage, interpret, use_prepped=False,
                  resident=False, reduce="sum"):
+    """Custom-VJP exact-Siddon render core over PRE-PACKED tiled rays.
+
+    Same boundary as :func:`..joseph._make_joseph`:
+    ``core(volume, rays_tiled, starts, prepped) -> (B, 1, N)``; ray packing
+    and window planning run once in the caller. ``reduce="max"`` (MIP)
+    tracks the argmax (slab*4 + segment) in the forward and runs the same
+    analytic backward kernels gated to it.
+    """
+    from .joseph import _int_zeros_cotangent
+
     H, W = image_shape
     other = tuple(d for d in range(3) if d != axis)
     perm3 = (axis,) + other
@@ -428,28 +477,13 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
     n_planes = X
     perm, n_tiles_img, padded = _plan_tiles_cached(H, W, tile)
     TR = tile * tile
-
-    def prepare(volume, source, target, weights, prepped):
-        B, N, _ = target.shape
-        if use_prepped:
-            vol = prepped
-        else:
-            vol = _prep_vol(volume, perm3, ky, zw, storage)
-        rays_tiled = _prep_rays(
-            source, target, weights, perm3, dims, H, W, tile, voxel_shift,
-            1, eps, quadrature="siddon",
-        )
-        n_tiles = B * n_tiles_img
-        starts = _compute_starts(
-            rays_tiled, n_tiles, TR, n_planes, 1, vol.shape[1], vol.shape[2],
-            ky, zw, zc, quadrature="siddon",
-        )
-        return vol, rays_tiled, starts
-
+    N = H * W
+    mip = reduce == "max"
     kw_static = dict(ky=ky, zw=zw, zc=zc, precision=precision)
 
-    def run_fwd(vol, rays_tiled, starts, B, N):
+    def _run_fwd(vol, rays_tiled, starts, B):
         n_tiles = rays_tiled.shape[1] // TR
+        rows = 2 if mip else 1
         kernel = functools.partial(_fwd_kernel, resident=resident,
                                    reduce=reduce, **kw_static)
         out = pl.pallas_call(
@@ -458,81 +492,63 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
             in_specs=_common_specs(n_planes, TR) + [
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, TR), lambda t: (0, t),
+            out_specs=pl.BlockSpec((rows, TR), lambda t: (0, t),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((1, n_tiles * TR), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((rows, n_tiles * TR), jnp.float32),
             scratch_shapes=[
                 _win_scratch(vol, ky, zw, False, resident),
-                pltpu.VMEM((1, TR), jnp.float32),
+                pltpu.VMEM((rows, TR), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
             **_vmem_params(resident, vol),
         )(starts, rays_tiled, vol)
         untile, _ = _tile_permutes(perm, B, N, TR, n_tiles_img)
-        return untile(out)
+        if mip:
+            return untile(out[0:1]), out[1:2]
+        return untile(out), None
+
+    def _vol(volume, prepped):
+        return prepped if use_prepped else _prep_vol(
+            volume, perm3, ky, zw, storage)
 
     @jax.custom_vjp
-    def render(volume, source, target, weights, prepped):
-        B, N, _ = target.shape
-        vol, rays_tiled, starts = prepare(
-            volume, source, target, weights, prepped)
-        return run_fwd(vol, rays_tiled, starts, B, N)
+    def core(volume, rays_tiled, starts, prepped):
+        B = rays_tiled.shape[1] // padded
+        out, _ = _run_fwd(_vol(volume, prepped), rays_tiled, starts, B)
+        return out
 
-    def render_fwd(volume, source, target, weights, prepped):
-        B, N, _ = target.shape
-        vol, rays_tiled, starts = prepare(
-            volume, source, target, weights, prepped)
-        out = run_fwd(vol, rays_tiled, starts, B, N)
-        if reduce == "max":
-            # Max backward routes through the XLA oracle's VJP.
-            return out, (volume, source, target, weights)
-        return out, (vol, rays_tiled, starts, source, target, weights)
+    def core_fwd(volume, rays_tiled, starts, prepped):
+        B = rays_tiled.shape[1] // padded
+        vol = _vol(volume, prepped)
+        out, pbest = _run_fwd(vol, rays_tiled, starts, B)
+        return out, (vol, rays_tiled, starts, pbest)
 
-    def render_bwd(res, gc):
-        if reduce == "max":
-            # MIP gradients flow through the argmax segment only; backward
-            # differentiates the sort-based XLA oracle instead of teaching
-            # the analytic kernels argmax recomputation (MIP is a
-            # forward/visualization workload).
-            from ..siddon import siddon_raycast
-
-            volume, source, target, weights = res
-            _, vjp = jax.vjp(
-                lambda v, s, t, w: siddon_raycast(
-                    v, s, t, w, voxel_shift=voxel_shift, reducefn="max",
-                    eps=eps,
-                ),
-                volume, source, target, weights,
-            )
-            d_vol, d_source, d_target, d_weights = vjp(gc)
-            # Zero cotangent from STATIC shape (no prepped residual).
-            Yp = max(dims[other[0]], ky)
-            Zp = max(-(-dims[other[1]] // 128) * 128, zw)
-            pdtype = jnp.bfloat16 if storage == "bf16" else jnp.float32
-            d_prepped = (jnp.zeros((X, Yp, Zp), pdtype)
-                         if use_prepped else jnp.zeros((0,), jnp.float32))
-            return d_vol, d_source, d_target, d_weights, d_prepped
-
-        vol, rays_tiled, starts, source, target, weights = res
-        B, N, _ = target.shape
+    def core_bwd(res, gc):
+        vol, rays_tiled, starts, pbest = res
+        B = rays_tiled.shape[1] // padded
         n_tiles = rays_tiled.shape[1] // TR
         _, tile_g = _tile_permutes(perm, B, N, TR, n_tiles_img)
         g_tiled = tile_g(gc)
+        mip_in = [pl.BlockSpec((1, TR), lambda t: (0, t),
+                               memory_space=pltpu.VMEM)] if mip else []
+        mip_args = (pbest,) if mip else ()
 
         kernel = functools.partial(_bwd_rays_kernel, resident=resident,
-                                   **kw_static)
+                                   mip=mip, **kw_static)
         d_rays = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
             in_specs=_common_specs(n_planes, TR) + [
                 pl.BlockSpec((1, TR), lambda t: (0, t),
                              memory_space=pltpu.VMEM),
+            ] + mip_in + [
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((_NROWS, TR), lambda t: (0, t),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((_NROWS, n_tiles * TR), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((_NROWS, n_tiles * TR),
+                                           jnp.float32),
             scratch_shapes=[
                 _win_scratch(vol, ky, zw, False, resident),
                 pltpu.VMEM((16, TR), jnp.float32),
@@ -540,22 +556,23 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
             ],
             interpret=interpret,
             **_vmem_params(resident, vol),
-        )(starts, rays_tiled, g_tiled, vol)
+        )(starts, rays_tiled, g_tiled, *mip_args, vol)
 
         dvol_init = jnp.zeros(vol.shape, jnp.float32)
-        kernel = functools.partial(_bwd_vol_kernel, **kw_static)
+        kernel = functools.partial(_bwd_vol_kernel, mip=mip, **kw_static)
         d_vol_p = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
             in_specs=_common_specs(n_planes, TR) + [
                 pl.BlockSpec((1, TR), lambda t: (0, t),
                              memory_space=pltpu.VMEM),
+            ] + mip_in + [
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct(vol.shape, jnp.float32),
-            input_output_aliases={4: 0},
+            input_output_aliases={(5 if mip else 4): 0},
             scratch_shapes=[
                 pltpu.VMEM((2, 1, ky, zw), jnp.float32),
                 pltpu.VMEM((2, 1, ky, zw), jnp.float32),
@@ -563,25 +580,16 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
-        )(starts, rays_tiled, g_tiled, vol, dvol_init)
+        )(starts, rays_tiled, g_tiled, *mip_args, vol, dvol_init)
 
-        _, vjp_rays = jax.vjp(
-            lambda s, t, w: _prep_rays(
-                s, t, w, perm3, dims, H, W, tile, voxel_shift, 1, eps,
-                quadrature="siddon",
-            ),
-            source, target, weights,
-        )
-        d_source, d_target, d_weights = vjp_rays(d_rays)
         Y0, Z0 = dims[other[0]], dims[other[1]]
         d_vol = jnp.transpose(d_vol_p[:X, :Y0, :Z0], inv_perm3)
-        # Symbolic-zero cotangent for the cache argument (see joseph.py).
         d_prepped = (jnp.zeros_like(vol) if use_prepped
                      else jnp.zeros((0,), jnp.float32))
-        return d_vol, d_source, d_target, d_weights, d_prepped
+        return d_vol, d_rays, _int_zeros_cotangent(starts), d_prepped
 
-    render.defvjp(render_fwd, render_bwd)
-    return render
+    core.defvjp(core_fwd, core_bwd)
+    return core
 
 
 def siddon_pallas_raycast(
@@ -604,6 +612,9 @@ def siddon_pallas_raycast(
     prepped_vol: Optional[jnp.ndarray] = None,
     resident: Optional[bool] = None,
     reducefn: str = "sum",
+    footprint_guard: bool = False,
+    guard_pred=None,
+    fallback=None,
 ) -> jnp.ndarray:
     """Exact Siddon render via Pallas slab-march kernels, fwd + analytic bwd.
 
@@ -611,14 +622,17 @@ def siddon_pallas_raycast(
     (the sort-based XLA oracle) for rays whose major direction component lies
     along ``axis`` (``max(|dy|,|dz|) <= |dx|`` per ray); see the module
     docstring for the decomposition and validity domain. Args mirror
-    :func:`diffdrr_tpu.ops.pallas.joseph.joseph_pallas_raycast`.
+    :func:`diffdrr_tpu.ops.pallas.joseph.joseph_pallas_raycast`, including
+    the ``footprint_guard``/``guard_pred``/``fallback`` runtime dispatch
+    (for Siddon, ``guard_pred`` typically carries the slab-validity bit).
+    ``reducefn="max"`` runs forward AND backward in-kernel (argmax gating).
     """
     B, N, _ = target.shape
     if weights is None:
         weights = jnp.ones((B, 1, N), volume.dtype)
     if zc is None:
         zc = zw - 128 if zw > 128 else zw
-    from .joseph import _validate_z_window
+    from .joseph import _padded_transverse, _validate_z_window
     _validate_z_window(volume.shape, axis, zw, zc)
     use_prepped = prepped_vol is not None
     resident = _resolve_resident(resident, volume, axis, ky, zw, False,
@@ -626,10 +640,41 @@ def siddon_pallas_raycast(
     if reducefn not in ("sum", "max"):
         raise ValueError(
             f"kernel path supports reducefn 'sum'/'max', got {reducefn!r}")
-    fn = _make_siddon(
-        volume.shape, tuple(image_shape), axis, voxel_shift, eps, tile, ky,
+    dims = volume.shape
+    other = tuple(d for d in range(3) if d != axis)
+    perm3 = (axis,) + other
+    H, W = image_shape
+    _, n_tiles_img, _ = _plan_tiles_cached(H, W, tile)
+    TR = tile * tile
+    Yp, Zp = _padded_transverse(dims, axis, ky, zw)
+
+    if (footprint_guard or guard_pred is not None) and fallback is None:
+        raise ValueError("footprint_guard/guard_pred require a fallback")
+
+    rays_tiled = _prep_rays(source, target, weights, perm3, dims, H, W,
+                            tile, voxel_shift, 1, eps, quadrature="siddon")
+    ret = _compute_starts(
+        rays_tiled, B * n_tiles_img, TR, dims[axis], 1, Yp, Zp, ky, zw, zc,
+        with_fit=footprint_guard, y0=dims[other[0]], z0=dims[other[1]],
+        quadrature="siddon",
+    )
+    starts, fits = ret if footprint_guard else (ret, None)
+
+    core = _make_siddon(
+        dims, tuple(image_shape), axis, voxel_shift, eps, tile, ky,
         zw, zc, precision, storage, interpret, use_prepped, resident,
         reducefn,
     )
     prepped = prepped_vol if use_prepped else jnp.zeros((0,), jnp.float32)
-    return fn(volume, source, target, weights, prepped)
+
+    pred = fits
+    if guard_pred is not None:
+        pred = guard_pred if pred is None else (pred & guard_pred)
+    if pred is None:
+        return core(volume, rays_tiled, starts, prepped)
+    return jax.lax.cond(
+        pred,
+        lambda op: core(op[0], op[1], op[2], prepped),
+        lambda op: fallback(op[0], op[3], op[4], op[5]),
+        (volume, rays_tiled, starts, source, target, weights),
+    )

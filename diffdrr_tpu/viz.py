@@ -30,6 +30,7 @@ __all__ = [
     "labelmap_to_mesh",
     "img_to_mesh",
     "visualize_scene",
+    "add_image",
 ]
 
 
@@ -603,5 +604,64 @@ def visualize_scene(
         # keep matplotlib's default [0,1] limits and render blank.
         lo = np.min(los, axis=0)
         hi = np.max(his, axis=0)
+        ax.auto_scale_xyz([lo[0], hi[0]], [lo[1], hi[1]], [lo[2], hi[2]])
+    return ax
+
+
+def add_image(drr, pose: RigidTransform, ax, calibration=None,
+              texture: bool = True, cmap: str = "gray",
+              max_quads: int = 64):
+    """Add a camera (frustum + textured detector + principal ray) to an
+    existing 3D scene axis — the incremental-add API.
+
+    matplotlib analog of the reference's ``add_image(drr, pose, pl)``
+    (visualization.py:420-426): when ``texture=True`` the DRR is rendered
+    at ``pose`` and painted onto the detector plane (a ``plot_surface``
+    with per-quad facecolors, downsampled to at most ``max_quads`` quads
+    per side to keep the axis responsive); ``texture=False`` draws the
+    plane as a sparse point cloud like :func:`visualize_scene`.
+
+    Returns ``ax`` (pass it to further ``add_image``/``visualize_scene``
+    calls to compose a scene).
+    """
+    import matplotlib.pyplot as plt
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    frustum, det, ray = img_to_mesh(drr, pose, calibration)
+    ax.add_collection3d(
+        Poly3DCollection(frustum.vertices[frustum.faces], alpha=0.15,
+                         facecolor="steelblue")
+    )
+    H, W = drr.detector.height, drr.detector.width
+    textured = texture and drr.detector.n_subsample is None
+    if textured:
+        img = np.asarray(drr(pose, calibration=calibration))[0, 0]
+        pts = det.reshape(H, W, 3)
+        sr = max(1, H // max_quads)
+        sc = max(1, W // max_quads)
+        pts = pts[::sr, ::sc]
+        img = img[::sr, ::sc]
+        lo, hi = float(img.min()), float(img.max())
+        norm = (img - lo) / (hi - lo) if hi > lo else np.zeros_like(img)
+        colors = plt.get_cmap(cmap)(norm)
+        ax.plot_surface(
+            pts[..., 0], pts[..., 1], pts[..., 2],
+            facecolors=colors, shade=False, rstride=1, cstride=1,
+            linewidth=0, antialiased=False,
+        )
+    else:
+        stride = max(1, len(det) // 2000)
+        ax.scatter(*det[::stride].T, s=1, color="steelblue", alpha=0.4)
+    ax.plot(*ray.T, color="lime", lw=2)
+
+    # Expand (never shrink) the axis bounds to cover the new items.
+    pts_all = np.concatenate([frustum.vertices, det, ray], axis=0)
+    lo, hi = pts_all.min(axis=0), pts_all.max(axis=0)
+    cur = np.array([ax.get_xlim3d(), ax.get_ylim3d(), ax.get_zlim3d()])
+    if np.allclose(cur, [[0.0, 1.0]] * 3):  # pristine axis: take our bounds
+        ax.auto_scale_xyz([lo[0], hi[0]], [lo[1], hi[1]], [lo[2], hi[2]])
+    else:
+        lo = np.minimum(lo, cur[:, 0])
+        hi = np.maximum(hi, cur[:, 1])
         ax.auto_scale_xyz([lo[0], hi[0]], [lo[1], hi[1]], [lo[2], hi[2]])
     return ax

@@ -171,6 +171,44 @@ def test_renderer_kwargs_flow(subject, pose_args):
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
 
 
+
+def _poison_siddon_core(monkeypatch, psid, value):
+    """Poison the siddon KERNEL CORE (post-refactor the guard cond lives in
+    siddon_pallas_raycast itself, so the observable kernel-vs-fallback seam
+    is the _make_siddon factory)."""
+    def poison_make(dims, image_shape, axis, voxel_shift, eps, tile, *rest,
+                    **kw):
+        H, W = image_shape
+        padded = (-(-H // tile)) * (-(-W // tile)) * tile * tile
+
+        def core(volume, rays_tiled, starts, prepped):
+            B = rays_tiled.shape[1] // padded
+            return jnp.full((B, 1, H * W), value, jnp.float32)
+
+        return core
+
+    monkeypatch.setattr(psid, "_make_siddon", poison_make)
+
+
+def _poison_joseph_core(monkeypatch, pjos, value):
+    """Joseph/raymarch analog of _poison_siddon_core (raymarch delegates to
+    joseph_pallas_raycast, so this poisons both)."""
+    def poison_make(dims, image_shape, axis, h, n_steps, voxel_shift, eps,
+                    tile, ky, zw, zc, precision, storage, interpret,
+                    use_prepped=False, n_ch=None, resident=False,
+                    reduce="sum"):
+        H, W = image_shape
+        padded = (-(-H // tile)) * (-(-W // tile)) * tile * tile
+
+        def core(volume, rays_tiled, starts, prepped, mask):
+            B = rays_tiled.shape[1] // padded
+            return jnp.full((B, n_ch or 1, H * W), value, jnp.float32)
+
+        return core
+
+    monkeypatch.setattr(pjos, "_make_joseph", poison_make)
+
+
 def test_siddon_slab_guard(subject, pose_args, monkeypatch):
     """Wide cone-beam rays violate the Siddon slab bound -> XLA fallback.
 
@@ -184,12 +222,7 @@ def test_siddon_slab_guard(subject, pose_args, monkeypatch):
     import diffdrr_tpu.drr as drr_mod
 
     POISON = 12345.0
-
-    def poison(volume, source, target, weights=None, **kw):
-        B, N = target.shape[0], target.shape[1]
-        return jnp.full((B, 1, N), POISON, jnp.float32)
-
-    monkeypatch.setattr(psid, "siddon_pallas_raycast", poison)
+    _poison_siddon_core(monkeypatch, psid, POISON)
     monkeypatch.setattr(
         drr_mod.DRR, "_pallas_capable",
         lambda self, m, o: (self.renderer_name == "siddon"
@@ -211,8 +244,11 @@ def test_siddon_slab_guard(subject, pose_args, monkeypatch):
         np.asarray(guarded), np.asarray(oracle), atol=1e-5)
     assert not np.allclose(np.asarray(guarded), POISON)
 
-    # slab_guard=False opts out: the Pallas branch runs unconditionally.
-    unguarded = _render(wide, pose_args, slab_guard=False)
+    # Opting out of BOTH guards runs the Pallas branch unconditionally
+    # (the footprint guard is free and on by default, so it must be
+    # disabled too to observe the raw kernel).
+    unguarded = _render(wide, pose_args, slab_guard=False,
+                        footprint_guard=False)
     assert np.allclose(np.asarray(unguarded), POISON)
 
 
@@ -230,12 +266,7 @@ def test_footprint_guard(subject, pose_args, monkeypatch):
     from diffdrr_tpu import load_example_ct
 
     POISON = 54321.0
-
-    def poison(volume, source, target, weights=None, **kw):
-        B, N = target.shape[0], target.shape[1]
-        return jnp.full((B, 1, N), POISON, jnp.float32)
-
-    monkeypatch.setattr(psid, "siddon_pallas_raycast", poison)
+    _poison_siddon_core(monkeypatch, psid, POISON)
     monkeypatch.setattr(
         drr_mod.DRR, "_pallas_capable",
         lambda self, m, o: (self.renderer_name == "siddon"
@@ -275,12 +306,7 @@ def test_footprint_guard_joseph_fallback(subject, pose_args, monkeypatch):
     from diffdrr_tpu import load_example_ct
 
     POISON = 99999.0
-
-    def poison(volume, source, target, weights=None, **kw):
-        B, N = target.shape[0], target.shape[1]
-        return jnp.full((B, 1, N), POISON, jnp.float32)
-
-    monkeypatch.setattr(pjos, "joseph_pallas_raycast", poison)
+    _poison_joseph_core(monkeypatch, pjos, POISON)
     monkeypatch.setattr(
         drr_mod.DRR, "_pallas_capable",
         lambda self, m, o: (self.renderer_name == "joseph"
@@ -329,11 +355,7 @@ def test_footprint_guard_channels_fallback(subject, pose_args, monkeypatch):
     import diffdrr_tpu.drr as drr_mod
     from diffdrr_tpu import load_example_ct
 
-    def poison(volume, source, target, weights=None, n_channels=None, **kw):
-        B, N = target.shape[0], target.shape[1]
-        return jnp.full((B, n_channels or 1, N), 7.0, jnp.float32)
-
-    monkeypatch.setattr(pjos, "joseph_pallas_raycast", poison)
+    _poison_joseph_core(monkeypatch, pjos, 7.0)
     monkeypatch.setattr(
         drr_mod.DRR, "_pallas_capable",
         lambda self, m, o: (self.renderer_name == "joseph"
@@ -448,12 +470,7 @@ def test_slab_guard_fallback_honors_reducefn(subject, pose_args, monkeypatch):
     import diffdrr_tpu.drr as drr_mod
 
     POISON = 12345.0
-
-    def poison(volume, source, target, weights=None, **kw):
-        B, N = target.shape[0], target.shape[1]
-        return jnp.full((B, 1, N), POISON, jnp.float32)
-
-    monkeypatch.setattr(psid, "siddon_pallas_raycast", poison)
+    _poison_siddon_core(monkeypatch, psid, POISON)
     monkeypatch.setattr(
         drr_mod.DRR, "_pallas_capable",
         lambda self, m, o: (self.renderer_name == "siddon"

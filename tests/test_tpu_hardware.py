@@ -1,0 +1,152 @@
+"""Hardware-only parity assertions (run: DIFFDRR_TPU_TESTS=1 pytest -m tpu).
+
+Interpret-mode kernel tests execute DMAs synchronously and compile through
+a different path, so they cannot catch wait-ordering races or Mosaic
+miscompiles — these tests assert VALUES on the real chip. The
+dynamic-roll regression (test_dynamic_roll_power_of_two_widths) is the
+canonical example: pltpu.roll with a runtime shift silently produced
+garbage at non-power-of-two lane widths (384) on v5e while interpret mode
+passed.
+
+Timing is bench.py's job; everything here is correctness.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from diffdrr_tpu import DRR, load_example_ct, convert
+
+pytestmark = pytest.mark.tpu
+
+TRANS = None
+ROT = None
+
+
+def _inputs():
+    global TRANS, ROT
+    if TRANS is None:
+        TRANS = jnp.asarray([[0.0, 850.0, 0.0]], jnp.float32)
+        ROT = jnp.asarray([[0.01, np.pi / 2 + 0.02, -0.01]], jnp.float32)
+    return ROT, TRANS
+
+
+@pytest.fixture(scope="module")
+def subject():
+    return load_example_ct(shape=(256, 256, 133))
+
+
+def _kernel_vs_oracle(drr, rot, trans, tol_fwd=5e-3, **kw):
+    img = drr(rot, trans, parameterization="euler_angles", convention="ZXY",
+              axis=2, **kw)
+    ora = drr(rot, trans, parameterization="euler_angles", convention="ZXY",
+              axis=2, force_xla=True, **kw)
+    rel = float(jnp.abs(img - ora).max() / jnp.abs(ora).max())
+    assert rel < tol_fwd, f"fwd rel {rel}"
+
+
+@pytest.mark.parametrize("renderer", ["siddon", "joseph", "trilinear"])
+def test_forward_parity_on_hardware(subject, renderer):
+    rot, trans = _inputs()
+    drr = DRR(subject, sdd=1020.0, height=96, delx=4.0, renderer=renderer)
+    # bf16-compute tolerance (default precision policy)
+    _kernel_vs_oracle(drr, rot, trans)
+
+
+@pytest.mark.parametrize("renderer", ["siddon", "joseph"])
+def test_pose_gradient_parity_on_hardware(subject, renderer):
+    """precision="highest" removes bf16 rounding: parity must be tight."""
+    rot, trans = _inputs()
+    drr = DRR(subject, sdd=1020.0, height=96, delx=4.0, renderer=renderer,
+              precision="highest")
+
+    def loss(r, d, fx):
+        return jnp.mean(d(r, trans, parameterization="euler_angles",
+                          convention="ZXY", axis=2, force_xla=fx))
+
+    g = np.asarray(jax.jit(jax.grad(lambda r, d: loss(r, d, False)))(rot, drr))
+    go = np.asarray(jax.jit(jax.grad(lambda r, d: loss(r, d, True)))(rot, drr))
+    rel = np.abs(g - go).max() / (np.abs(go).max() + 1e-12)
+    assert rel < 1e-3, (rel, g, go)
+
+
+@pytest.mark.parametrize("renderer", ["siddon", "joseph"])
+def test_volume_gradient_parity_on_hardware(subject, renderer):
+    """Exercises the RMW double-buffer _bwd_vol DMA pipelines on real DMAs
+    (the ADVICE round-2 validation gate)."""
+    rot, trans = _inputs()
+    drr = DRR(subject, sdd=1020.0, height=64, delx=6.0, renderer=renderer,
+              precision="highest")
+    pose = convert(rot, trans, parameterization="euler_angles",
+                   convention="ZXY")
+    src, tgt = drr.detector(pose, None)
+
+    def loss(dens, d, fx):
+        return jnp.mean(d.render(dens, src, tgt, axis=2, force_xla=fx) ** 2)
+
+    gk = np.asarray(jax.jit(
+        lambda dens, d: jax.grad(loss)(dens, d, False))(drr.density, drr))
+    go = np.asarray(jax.jit(
+        lambda dens, d: jax.grad(loss)(dens, d, True))(drr.density, drr))
+    rel = np.abs(gk - go).max() / (np.abs(go).max() + 1e-12)
+    assert rel < 1e-3, rel
+
+
+@pytest.mark.parametrize("renderer", ["siddon", "joseph"])
+def test_mip_gradient_on_hardware(subject, renderer):
+    """In-kernel argmax-gated MIP backward vs the oracle max-VJP."""
+    rot, trans = _inputs()
+    drr = DRR(subject, sdd=1020.0, height=64, delx=6.0, renderer=renderer,
+              precision="highest")
+
+    def loss(r, d, fx):
+        return jnp.mean(d(r, trans, parameterization="euler_angles",
+                          convention="ZXY", axis=2, reducefn="max",
+                          force_xla=fx))
+
+    g = np.asarray(jax.jit(jax.grad(lambda r, d: loss(r, d, False)))(rot, drr))
+    go = np.asarray(jax.jit(jax.grad(lambda r, d: loss(r, d, True)))(rot, drr))
+    rel = np.abs(g - go).max() / (np.abs(go).max() + 1e-12)
+    assert rel < 5e-3, (rel, g, go)
+
+
+def test_dynamic_roll_power_of_two_widths():
+    """Regression: Mosaic's dynamic pltpu.roll silently miscompiles at
+    non-power-of-two lane widths (384) on v5e. The kernels now refuse such
+    windows (_validate_z_window); this asserts the widths we DO use are
+    exact on hardware."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def mk(W):
+        def kernel(shift_ref, x_ref, o_ref):
+            o_ref[...] = pltpu.roll(x_ref[...], -shift_ref[0], axis=1)
+
+        return jax.jit(lambda shift, x: pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((16, W), jnp.float32),
+        )(shift, x))
+
+    rng = np.random.default_rng(0)
+    for W in (128, 256, 512):
+        x = jnp.asarray(rng.standard_normal((16, W)), jnp.float32)
+        for s in (1, 127, W - 3):
+            got = np.asarray(mk(W)(jnp.asarray([s], jnp.int32), x))
+            np.testing.assert_array_equal(got, np.roll(np.asarray(x), -s, 1))
+
+
+def test_planner_never_emits_rollable_non_pow2_zw(subject):
+    """Every planned config must satisfy the roll-width constraint."""
+    for h, dx in ((64, 6.0), (96, 4.0), (200, 2.0), (200, 1.0)):
+        for r in ("siddon", "joseph", "trilinear"):
+            drr = DRR(subject, sdd=1020.0, height=h, delx=dx, renderer=r)
+            for cfg in drr.pallas_cfg:
+                if cfg is None:
+                    continue
+                tile, ky, zw, zc = cfg
+                lanes = zw // 128
+                assert zc == zw or (lanes & (lanes - 1)) == 0, cfg

@@ -228,3 +228,42 @@ def test_drr_to_mesh_smooth_iters_honored(scene):
                      smooth_iters=5)
     assert m0.n_vertices == m5.n_vertices
     assert not np.allclose(m0.vertices, m5.vertices)
+
+
+def test_add_image_composes_scene(tmp_path):
+    """add_image paints the rendered DRR onto the detector plane of an
+    existing 3D axis and expands (never shrinks) the scene bounds
+    (reference: visualization.py:420-426)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from diffdrr_tpu import DRR, load_example_ct, convert
+    from diffdrr_tpu.viz import add_image, drr_to_mesh, visualize_scene
+
+    subject = load_example_ct(shape=(48, 48, 24))
+    drr = DRR(subject, sdd=800.0, height=16, delx=8.0)
+    pose = convert(
+        jnp.asarray([[0.0, np.pi / 2, 0.0]], jnp.float32),
+        jnp.asarray([[0.0, 400.0, 0.0]], jnp.float32),
+        parameterization="euler_angles", convention="ZXY",
+    )
+    mesh = drr_to_mesh(subject, threshold=0.4)
+    ax = visualize_scene(mesh)
+    n_before = len(ax.collections) + len(ax.lines)
+    ax = add_image(drr, pose, ax)
+    assert len(ax.collections) + len(ax.lines) > n_before
+    # Scene bounds must now include the source point (frustum apex).
+    src = np.asarray(drr.detector(pose, None)[0])[0, 0]
+    xlim, ylim, zlim = ax.get_xlim3d(), ax.get_ylim3d(), ax.get_zlim3d()
+    for c, (lo, hi) in zip(src, (xlim, ylim, zlim)):
+        assert lo - 1e-3 <= c <= hi + 1e-3
+    # Second camera composes onto the same axis without error.
+    pose2 = convert(
+        jnp.asarray([[0.3, np.pi / 2, 0.2]], jnp.float32),
+        jnp.asarray([[10.0, 380.0, -5.0]], jnp.float32),
+        parameterization="euler_angles", convention="ZXY",
+    )
+    add_image(drr, pose2, ax, texture=False)
+    plt.close("all")

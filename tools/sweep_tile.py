@@ -87,6 +87,19 @@ def run_one(name, bwd=False):
     kwargs = CONFIGS[name]
     drr = DRR(subject, sdd=1020.0, height=200, delx=2.0, **kwargs)
     print(name, "cfg", drr.pallas_cfg[2], flush=True)
+    # VALUE check before timing: a miscompiled config (e.g. the Mosaic
+    # dynamic-roll bug at non-power-of-two lane widths) would otherwise
+    # post a fast-but-garbage number and poison the cost-model fit.
+    img = drr(rot0, trans, parameterization="euler_angles",
+              convention="ZXY", axis=2)
+    ora = drr(rot0, trans, parameterization="euler_angles",
+              convention="ZXY", axis=2, force_xla=True)
+    rel = float(jnp.abs(img - ora).max() / jnp.abs(ora).max())
+    print(f"{name} value-check rel {rel:.2e}", flush=True)
+    if rel > 5e-3:  # well beyond bf16-compute tolerance
+        print(f"{name}: VALUE CHECK FAILED ({rel:.3e}) — not timing",
+              flush=True)
+        return
     if bwd:
         import jax
 
