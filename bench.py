@@ -331,6 +331,32 @@ def main(smoke=False):
             "ms_per_iter": round(t * 1e3, 3),
             "iters_per_s": round(1.0 / t, 2)}
 
+    # --- scaling efficiency (BASELINE.md north star: multi-host scaling) ---
+    # Real multi-chip when available; otherwise a virtual 8-device CPU mesh
+    # in a subprocess (this process owns the single tunneled TPU chip). The
+    # subprocess also isolates the CPU-mesh XLA state from the TPU bench.
+    def scaling_metric():
+        import subprocess
+        import sys as _sys
+
+        n_real = len(jax.devices())
+        cmd = [_sys.executable, "tools/bench_scaling.py"]
+        if n_real < 2:
+            cmd += ["--cpu-devices", "8"]
+        if smoke:
+            cmd += ["--height", "64", "--volume-size", "32", "--iters", "2",
+                    "--reps", "1"]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=560, cwd=os.path.dirname(
+                                 os.path.abspath(__file__)))
+        if out.returncode != 0:
+            raise RuntimeError(out.stderr.strip()[-300:])
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    sc = measure("scaling_efficiency", scaling_metric)
+    if sc is not None:
+        extra["scaling"] = sc
+
     baseline = 40_000 / 24.6e-3  # reference Siddon 200^2 on RTX 2080 Ti
     out = {
         "metric": "siddon_render_rays_per_s_200x200_512ct",
@@ -340,6 +366,8 @@ def main(smoke=False):
                         if headline_rays else 0.0),
         "extra": extra,
     }
+    if sc is not None:
+        out["scaling_efficiency"] = sc.get("scaling_efficiency")
     if smoke:
         out["smoke"] = True
     if errors:

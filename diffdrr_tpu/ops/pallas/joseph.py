@@ -558,7 +558,12 @@ def _rmw_double_buffered(lo, hi, load_dma, store_dma, win_buf, dwin_buf,
     REQUIRES that distinct planes' volume windows are disjoint: a store to
     plane ``p`` is only known complete at slot reuse (``p+2``), so overlapping
     windows would race (joseph blend mode serializes instead). Shared by the
-    joseph and exact-Siddon d/d(volume) kernels."""
+    joseph and exact-Siddon d/d(volume) kernels.
+
+    Scheduling note: the plane ``p+1`` load prefetch issues BEFORE
+    ``compute_dwin(p)`` (siddon's original order, adopted by joseph when the
+    two pipelines were unified) — safe under window disjointness, and it
+    overlaps the DMA with the plane's matmul instead of issuing it after."""
 
     @pl.when(lo < hi)
     def _():
