@@ -37,6 +37,7 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
+from ._precision import f32_matmuls
 from .data import Subject
 from .detector import Detector
 from .ops.joseph import joseph_raycast
@@ -79,6 +80,12 @@ _RENDERERS = {
 _COST_VPU_ELEM = 4560.0
 _COST_DMA_BYTE = 0.0
 _COST_FIXED_STEP = 2.05e9
+
+# Sparse-dispatch crossover: one XLA-oracle ray costs ~this many kernel
+# full-frame rays (per renderer). Deliberately conservative (high) until
+# fitted on hardware — overestimating the oracle keeps renders on the
+# kernel path, which is never a regression vs the old full-frame+gather.
+_SPARSE_XLA_RAY_COST = {"siddon": 200.0, "joseph": 50.0, "trilinear": 25.0}
 
 
 def pallas_cost_terms(renderer_name, tile, ky, zw, zc, height, width,
@@ -529,9 +536,15 @@ class DRR:
 
         source, target = self.detector(pose, calibration)
 
-        # Sparse rendering on the kernel path: render the full frame (the
-        # kernels are faster than a sparse gather render) and gather the
-        # sampled rays; gradients scatter back through the gather.
+        # Sparse rendering on the kernel path (reference: only the sampled
+        # rays are ever rendered, detector.py:134-137). Three strategies,
+        # chosen statically by the cost model (_sparse_strategy):
+        #   "tiles" — render only the detector tiles containing sampled rays
+        #             (kernel grid shrinks to the occupied tiles), gather;
+        #   "full"  — render the full frame and gather (every tile occupied:
+        #             at uniform sampling, p * tile^2 >~ 3 fills all tiles);
+        #   "xla"   — very sparse: the XLA oracle renders ONLY the sampled
+        #             rays (cost scales with n_subsample, not the frame).
         sparse_idx = None
         # Capability must be judged on the SAME option set render() will see:
         # constructor renderer_kwargs merged with per-call kwargs. Judging
@@ -541,9 +554,14 @@ class DRR:
         if (self.detector.n_subsample is not None
                 and self._pallas_capable(
                     mask_to_channels, {**self.renderer_kwargs, **kwargs})):
-            full_target = self.detector.full_plane_target(pose, calibration)
-            sparse_idx = jnp.asarray(self.detector.subsamples[-1], jnp.int32)
-            target = full_target
+            strategy, subsets = self._sparse_strategy()
+            if strategy != "xla":
+                full_target = self.detector.full_plane_target(pose, calibration)
+                sparse_idx = jnp.asarray(self.detector.subsamples[-1],
+                                         jnp.int32)
+                target = full_target
+                if strategy == "tiles":
+                    kwargs["_tile_subsets"] = subsets
 
         render = self.render
         if self.checkpoint_gradients:
@@ -565,6 +583,42 @@ class DRR:
         if sparse_idx is not None:
             img = img[:, :, sparse_idx]
         return self.reshape_transform(img, batch_size=len(pose))
+
+    def _sparse_strategy(self):
+        """Pick the sparse-render strategy + per-axis tile subsets (static).
+
+        Returns ``(strategy, subsets)`` where strategy is "tiles" / "full" /
+        "xla" and subsets is a per-axis tuple of occupied-tile indices (None
+        where an axis's tiles are all occupied). Host-side, trace-time only.
+        """
+        idx = np.asarray(self.detector.subsamples[-1], np.int64)
+        H, W = self.detector.height, self.detector.width
+        subsets, kernel_rays = [], []
+        for ax in range(3):
+            cfg = self.pallas_cfg[ax]
+            if cfg is None:
+                subsets.append(None)
+                continue
+            tile = cfg[0]
+            th, tw = -(-H // tile), -(-W // tile)
+            t = np.unique((idx // W) // tile * tw + (idx % W) // tile)
+            full = len(t) == th * tw
+            subsets.append(None if full else tuple(int(x) for x in t))
+            kernel_rays.append(len(t) * tile * tile)
+        subsets = tuple(subsets)
+        if not kernel_rays:  # no kernel axis; caller won't use the result
+            return "full", subsets
+        # Very sparse: the XLA oracle renders ONLY the sampled rays, costing
+        # ~_SPARSE_XLA_RAY_COST kernel-ray-equivalents each (per renderer;
+        # conservative pre-fit values — overestimating the oracle just keeps
+        # the kernel, never a regression).
+        n_sub = len(idx)
+        if (n_sub * _SPARSE_XLA_RAY_COST[self.renderer_name]
+                < min(kernel_rays)):
+            return "xla", subsets
+        if all(s is None for s in subsets):
+            return "full", subsets
+        return "tiles", subsets
 
     def _pallas_capable(self, mask_to_channels: bool, opts: dict) -> bool:
         """Static part of the Pallas dispatch decision."""
@@ -629,6 +683,11 @@ class DRR:
         opts = dict(self.renderer_kwargs)
         opts.update(kwargs)
         density_is_stored = opts.pop("_density_is_stored", False)
+        # Per-axis occupied-tile subsets (sparse rendering, set by forward's
+        # "tiles" strategy). The guard fallback still renders the full frame
+        # — correct (extra rays are discarded by the sparse gather), and the
+        # guard only trips for extreme poses.
+        tile_subsets = opts.pop("_tile_subsets", None)
         opts["voxel_shift"] = self.voxel_shift
         if mask_to_channels:
             opts["mask"] = self.mask
@@ -831,6 +890,8 @@ class DRR:
                     else None,
                     fallback=(xla_fallback if (fp_guard or guarded)
                               else None),
+                    tile_subset=(tile_subsets[ax] if tile_subsets is not None
+                                 else None),
                 )
                 if mask_to_channels:
                     common["mask"] = self.mask
@@ -968,6 +1029,7 @@ class DRR:
         )
 
     # ------------------------------------------------------------- projections
+    @f32_matmuls
     def perspective_projection(
         self, pose: RigidTransform, pts: jnp.ndarray
     ) -> jnp.ndarray:
@@ -986,6 +1048,7 @@ class DRR:
             x0 = self.detector.width - x0
         return jnp.stack([x0, x1], axis=-1)
 
+    @f32_matmuls
     def inverse_projection(
         self, pose: RigidTransform, pts: jnp.ndarray
     ) -> jnp.ndarray:

@@ -15,6 +15,8 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+
+from ._precision import f32_matmuls
 import numpy as np
 
 from .pose import RigidTransform, so3_log_map
@@ -85,6 +87,7 @@ class NormalizedCrossCorrelation2d:
         self.patch_size = patch_size
         self.eps = eps
 
+    @f32_matmuls
     def __call__(self, x1, x2):
         return ncc2d(x1, x2, self.patch_size, self.eps)
 
@@ -105,6 +108,7 @@ class MultiscaleNormalizedCrossCorrelation2d:
         self.patch_weights = list(patch_weights)
         self.eps = eps
 
+    @f32_matmuls
     def __call__(self, x1, x2):
         scores = [
             w * ncc2d(x1, x2, p, self.eps)
@@ -169,6 +173,7 @@ class Sobel:
     def __init__(self, sigma: float):
         self.sigma = sigma
 
+    @f32_matmuls
     def __call__(self, img):
         return sobel(img, self.sigma)
 
@@ -182,6 +187,7 @@ class GradientNormalizedCrossCorrelation2d(NormalizedCrossCorrelation2d):
         super().__init__(patch_size, **kwargs)
         self.sobel = Sobel(sigma)
 
+    @f32_matmuls
     def __call__(self, x1, x2):
         return super().__call__(self.sobel(x1), self.sobel(x2))
 
@@ -255,6 +261,7 @@ class MutualInformation:
         self.epsilon = epsilon
         self.normalize = normalize
 
+    @f32_matmuls
     def __call__(self, x1, x2):
         return mutual_information(
             x1, x2, self.sigma, self.num_bins, self.epsilon, self.normalize
@@ -271,6 +278,7 @@ class MutualInformation:
 class LogGeodesicSE3:
     """Distance in the log-space of SE(3) (reference: metrics.py:145-158)."""
 
+    @f32_matmuls
     def __call__(self, pose_1: RigidTransform, pose_2: RigidTransform) -> jnp.ndarray:
         rel = pose_2.compose(pose_1.inverse())
         return jnp.linalg.norm(rel.get_se3_log(), axis=1)
@@ -289,6 +297,7 @@ class DoubleGeodesicSE3:
         self.sdr = sdd / 2
         self.eps = eps
 
+    @f32_matmuls
     def __call__(self, pose_1: RigidTransform, pose_2: RigidTransform):
         r1, t1 = pose_1.convert("matrix")
         r2, t2 = pose_2.convert("matrix")

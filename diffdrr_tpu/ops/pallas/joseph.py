@@ -131,7 +131,12 @@ def _dot(a, b, dims, precision):
     elif precision == "bf16" or jnp.bfloat16 in (a.dtype, b.dtype):
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
-    prec = jax.lax.Precision.HIGHEST if precision == "highest" else None
+    # Explicit Precision.DEFAULT (not None): None would inherit the ambient
+    # jax.default_matmul_precision, and the geometry chain around the
+    # kernels deliberately runs under a "highest" context (_precision.py) —
+    # inheriting it here would silently force 3x-slower f32 MXU passes.
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
     return jax.lax.dot_general(
         a, b, dims, preferred_element_type=jnp.float32, precision=prec
     )
@@ -753,35 +758,62 @@ def _plan_tiles_cached(height, width, tile):
     return plan_tiles(height, width, tile)
 
 
+def _subset_perm(height, width, tile, subset):
+    """Tile-order permutation restricted to the ``subset`` of tile indices.
+
+    Returns ``perm[i]`` = original row-major ray index at packed position
+    ``i`` (-1 at padding), for ``len(subset) * tile**2`` packed positions.
+    """
+    perm, n_tiles_img, _ = _plan_tiles_cached(height, width, tile)
+    if subset is None:
+        return perm, n_tiles_img
+    TR = tile * tile
+    sel = np.asarray(subset, np.int64)
+    return perm.reshape(n_tiles_img, TR)[sel].reshape(-1), len(subset)
+
+
 @functools.lru_cache(maxsize=64)
-def _make_tile_gather(height, width, tile):
+def _make_tile_gather(height, width, tile, subset=None):
     """Row-major -> tile-order gather with an EXACT inverse-permutation VJP.
 
     XLA's autodiff of a gather emits a scatter-add; because ``perm`` is a
     permutation with -1 padding (every real index appears exactly once), the
     linear transpose is just a gather by the inverse permutation with padded
     columns dropped. Keeps the registration backward free of TPU scatters.
+
+    ``subset`` (sparse rendering): only the listed detector tiles are packed;
+    rays outside them receive zero cotangents (they are not rendered).
     """
     # All index tables are built in NumPy: the factory is lru_cached, so a
     # traced op here (e.g. jnp.maximum) would leak its tracer into later
     # traces through the cached closure.
-    perm, _, _ = _plan_tiles_cached(height, width, tile)
+    perm, _ = _subset_perm(height, width, tile, subset)
     safe = np.maximum(perm, 0)
     pad_col = np.asarray(perm < 0)
-    inv = np.zeros(height * width, np.int64)
+    N = height * width
+    inv = np.full(N, -1, np.int64)
     inv[perm[perm >= 0]] = np.nonzero(perm >= 0)[0]
-    inv_j = np.asarray(inv)
+    inv_safe = np.maximum(inv, 0)
+    inv_pad = np.asarray(inv < 0)
+    inv_j = np.asarray(inv_safe)
 
     @jax.custom_vjp
-    def gather(rays_b):  # (R, B, N) -> (R, B, padded), pad cols zeroed
+    def gather(rays_b):  # (R, B, N) -> (R, B, packed), pad cols zeroed
         out = rays_b[:, :, safe]
         return jnp.where(pad_col[None, None, :], 0.0, out)
 
     def fwd(rays_b):
         return gather(rays_b), ()
 
-    def bwd(_, g):
-        return (g[:, :, inv_j],)
+    if subset is None:
+
+        def bwd(_, g):
+            return (g[:, :, inv_j],)
+    else:
+
+        def bwd(_, g):
+            out = g[:, :, inv_j]
+            return (jnp.where(inv_pad[None, None, :], 0.0, out),)
 
     gather.defvjp(fwd, bwd)
     return gather
@@ -804,11 +836,12 @@ def _prep_vol(volume, perm3, ky, zw, storage=None, xpad=0):
 
 
 def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
-               voxel_shift, h, eps, quadrature="joseph"):
+               voxel_shift, h, eps, quadrature="joseph", tile_subset=None):
     """Pack per-ray kernel rows in detector-tile order. Differentiable.
 
     Fully batch-vectorized: output columns are ordered
-    ``[batch 0 tiles..., batch 1 tiles..., ...]``.
+    ``[batch 0 tiles..., batch 1 tiles..., ...]``. ``tile_subset`` packs
+    only the listed detector tiles (sparse rendering).
     """
     B, N, _ = target.shape
     off = voxel_shift - 0.5
@@ -849,19 +882,20 @@ def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
     rays = rays.at[_AMIN].set(amin)
     rays = rays.at[_AMAX].set(amax)
 
-    perm, n_tiles_img, padded = _plan_tiles_cached(H, W, tile)
+    perm, _ = _subset_perm(H, W, tile, tile_subset)
     perm_j = jnp.asarray(perm)
 
     rays_b = rays.reshape(_NROWS, B, N)
-    out = _make_tile_gather(H, W, tile)(rays_b)  # (_NROWS, B, padded)
-    # Padding rays must be NEUTRAL: an empty slab interval (amin > amax)
-    # keeps them out of the window minima, the active-range table, and the
-    # integral (zeroed columns would otherwise read as "in-slab at alpha=0"
-    # and pull edge-tile windows to voxel 0, clipping the real rays).
+    out = _make_tile_gather(H, W, tile, tile_subset)(rays_b)
+    # (_NROWS, B, packed). Padding rays must be NEUTRAL: an empty slab
+    # interval (amin > amax) keeps them out of the window minima, the
+    # active-range table, and the integral (zeroed columns would otherwise
+    # read as "in-slab at alpha=0" and pull edge-tile windows to voxel 0,
+    # clipping the real rays).
     pad_col = perm_j[None, None, :] < 0
     out = out.at[_AMIN].set(jnp.where(pad_col[0], 2.0, out[_AMIN]))
     out = out.at[_AMAX].set(jnp.where(pad_col[0], -2.0, out[_AMAX]))
-    return out.reshape(_NROWS, B * padded)
+    return out.reshape(_NROWS, B * perm.shape[0])
 
 
 def _compute_starts(rays_tiled, n_tiles, TR, n_planes, h, Y, Z, ky, zw, zc,
@@ -1211,33 +1245,44 @@ def _tile_permutes(perm, B, N, TR, n_tiles_img, n_ch=None):
     """Vectorized tiled-order <-> row-major maps for outputs/cotangents.
 
     Scalar mode maps (1, cols) <-> (B, 1, N); channel mode maps
-    (C_pad, cols) <-> (B, n_ch, N).
+    (C_pad, cols) <-> (B, n_ch, N). ``perm`` may be a tile-subset
+    permutation (sparse rendering): un-rendered rays untile to 0 and send
+    0 cotangents to the kernel.
     """
     perm_j = jnp.asarray(perm)
     safe = jnp.maximum(perm_j, 0)
-    inv = np.zeros(N, np.int64)
+    n_cols = perm.shape[0]  # n_tiles_packed * TR (== n_tiles_img*TR dense)
+    del n_tiles_img
+    inv = np.full(N, -1, np.int64)
     inv[perm[perm >= 0]] = np.nonzero(perm >= 0)[0]
-    inv_j = jnp.asarray(inv)
+    sparse = bool((inv < 0).any())
+    inv_pad = np.asarray(inv < 0)
+    inv_j = jnp.asarray(np.maximum(inv, 0))
     rows = 1 if n_ch is None else -(-n_ch // 8) * 8
 
     def untile(out_tiled):
         if n_ch is None:
-            out_tiled = out_tiled.reshape(B, n_tiles_img * TR)
-            return out_tiled[:, inv_j][:, None, :]
-        out_tiled = out_tiled.reshape(rows, B, n_tiles_img * TR)
+            out_tiled = out_tiled.reshape(B, n_cols)
+            out = out_tiled[:, inv_j]
+            if sparse:
+                out = jnp.where(inv_pad[None, :], 0.0, out)
+            return out[:, None, :]
+        out_tiled = out_tiled.reshape(rows, B, n_cols)
         out = out_tiled[:, :, inv_j]  # (rows, B, N)
+        if sparse:
+            out = jnp.where(inv_pad[None, None, :], 0.0, out)
         return jnp.moveaxis(out, 0, 1)[:, :n_ch, :]
 
     def tile_g(g):
         if n_ch is None:
             g2 = g.reshape(B, N)
-            out = g2[:, safe]  # (B, padded)
+            out = g2[:, safe]  # (B, packed)
             out = jnp.where(perm_j[None, :] >= 0, out, 0.0)
             return out.reshape(1, -1)
         g3 = jnp.moveaxis(g.reshape(B, n_ch, N), 1, 0)  # (n_ch, B, N)
         if rows != n_ch:
             g3 = jnp.pad(g3, ((0, rows - n_ch), (0, 0), (0, 0)))
-        out = g3[:, :, safe]  # (rows, B, padded)
+        out = g3[:, :, safe]  # (rows, B, packed)
         out = jnp.where(perm_j[None, None, :] >= 0, out, 0.0)
         return out.reshape(rows, -1)
 
@@ -1262,7 +1307,8 @@ def _int_zeros_cotangent(x):
 @functools.lru_cache(maxsize=64)
 def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
                  ky, zw, zc, precision, storage, interpret,
-                 use_prepped=False, n_ch=None, resident=False, reduce="sum"):
+                 use_prepped=False, n_ch=None, resident=False, reduce="sum",
+                 tile_subset=None):
     """Build the custom-VJP render core for one static configuration.
 
     The VJP boundary sits at PRE-PACKED tiled rays:
@@ -1293,6 +1339,10 @@ def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
     kernels gated to that plane (max's subgradient), staying on the kernel
     path end to end (reference semantics: renderers.py:175-183). First
     maximum wins on exact ties — measure-zero at generic poses.
+
+    ``tile_subset`` (sparse rendering, reference detector.py:134-137): only
+    the listed detector tiles are packed and rendered; the row-major output
+    is 0 at un-rendered rays (the caller gathers the sampled subset).
     """
     H, W = image_shape
     other = tuple(d for d in range(3) if d != axis)
@@ -1300,8 +1350,9 @@ def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
     inv_perm3 = tuple(np.argsort(perm3))
     blend = abs(h - round(h)) > 1e-9
     xpad = 1 if blend else 0
-    perm, n_tiles_img, padded = _plan_tiles_cached(H, W, tile)
     TR = tile * tile
+    perm, n_tiles_img = _subset_perm(H, W, tile, tile_subset)
+    padded = perm.shape[0]  # packed columns per batch element
     N = H * W
     mip = reduce == "max"
 
@@ -1395,6 +1446,7 @@ def joseph_pallas_raycast(
     footprint_guard: bool = False,
     guard_pred=None,
     fallback=None,
+    tile_subset=None,
 ) -> jnp.ndarray:
     """Joseph plane-march render via Pallas TPU kernels, fwd + analytic bwd.
 
@@ -1425,6 +1477,9 @@ def joseph_pallas_raycast(
         ``guard_pred``; poses that fail render through
         ``fallback(volume, source, target, weights)`` instead of silently
         clipping peripheral samples. Requires ``fallback``.
+      tile_subset: static tuple of detector-tile indices — only these tiles
+        are packed/rendered (true sparse rendering for ``p_subsample``,
+        reference detector.py:134-137); un-rendered rays output 0.
 
     Returns (B, 1, N) line integrals ((B, C, N) with a mask). Differentiable
     w.r.t. volume, source, target, and weights (analytic VJP kernels,
@@ -1457,7 +1512,9 @@ def joseph_pallas_raycast(
     other = tuple(d for d in range(3) if d != axis)
     perm3 = (axis,) + other
     H, W = image_shape
-    _, n_tiles_img, _ = _plan_tiles_cached(H, W, tile)
+    if tile_subset is not None:
+        tile_subset = tuple(int(t) for t in tile_subset)
+    _, n_tiles_packed = _subset_perm(H, W, tile, tile_subset)
     TR = tile * tile
     Yp, Zp = _padded_transverse(dims, axis, ky, zw)
 
@@ -1465,9 +1522,10 @@ def joseph_pallas_raycast(
         raise ValueError("footprint_guard/guard_pred require a fallback")
 
     rays_tiled = _prep_rays(source, target, weights, perm3, dims, H, W,
-                            tile, voxel_shift, h, eps)
+                            tile, voxel_shift, h, eps,
+                            tile_subset=tile_subset)
     ret = _compute_starts(
-        rays_tiled, B * n_tiles_img, TR, int(n_steps), h, Yp, Zp, ky, zw,
+        rays_tiled, B * n_tiles_packed, TR, int(n_steps), h, Yp, Zp, ky, zw,
         zc, with_fit=footprint_guard,
         y0=dims[other[0]], z0=dims[other[1]],
     )
@@ -1477,6 +1535,10 @@ def joseph_pallas_raycast(
         dims, tuple(image_shape), axis, h, int(n_steps), voxel_shift,
         eps, tile, ky, zw, zc, precision, storage, interpret, use_prepped,
         n_ch, resident, reducefn,
+        # Only passed when sparse: keeps the factory signature stable for
+        # callers/tests that stub it (and the lru key small) on the dense
+        # path.
+        **({} if tile_subset is None else {"tile_subset": tile_subset}),
     )
     prepped = prepped_vol if use_prepped else jnp.zeros((0,), jnp.float32)
     lab = mask if mask is not None else jnp.zeros((0,), jnp.float32)

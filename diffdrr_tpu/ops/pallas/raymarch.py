@@ -66,6 +66,7 @@ def raymarch_pallas_raycast(
     footprint_guard: bool = False,
     guard_pred=None,
     fallback=None,
+    tile_subset=None,
 ) -> jnp.ndarray:
     """Trilinear ray-march render via Pallas plane-lerp kernels.
 
@@ -90,5 +91,5 @@ def raymarch_pallas_raycast(
         prepped_vol=prepped_vol, mask=mask, n_channels=n_channels,
         resident=resident, reducefn=reducefn,
         footprint_guard=footprint_guard, guard_pred=guard_pred,
-        fallback=fallback,
+        fallback=fallback, tile_subset=tile_subset,
     )

@@ -64,6 +64,7 @@ from .joseph import (
     _rmw_double_buffered,
     _resolve_resident,
     _roll_window,
+    _subset_perm,
     _tile_permutes,
     _vmem_params,
     _win_scratch,
@@ -458,14 +459,15 @@ def _bwd_vol_kernel(
 @functools.lru_cache(maxsize=64)
 def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
                  precision, storage, interpret, use_prepped=False,
-                 resident=False, reduce="sum"):
+                 resident=False, reduce="sum", tile_subset=None):
     """Custom-VJP exact-Siddon render core over PRE-PACKED tiled rays.
 
     Same boundary as :func:`..joseph._make_joseph`:
     ``core(volume, rays_tiled, starts, prepped) -> (B, 1, N)``; ray packing
     and window planning run once in the caller. ``reduce="max"`` (MIP)
     tracks the argmax (slab*4 + segment) in the forward and runs the same
-    analytic backward kernels gated to it.
+    analytic backward kernels gated to it. ``tile_subset``: sparse
+    rendering — only the listed detector tiles are packed/rendered.
     """
     from .joseph import _int_zeros_cotangent
 
@@ -475,8 +477,9 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
     inv_perm3 = tuple(np.argsort(perm3))
     X = dims[axis]
     n_planes = X
-    perm, n_tiles_img, padded = _plan_tiles_cached(H, W, tile)
     TR = tile * tile
+    perm, n_tiles_img = _subset_perm(H, W, tile, tile_subset)
+    padded = perm.shape[0]  # packed columns per batch element
     N = H * W
     mip = reduce == "max"
     kw_static = dict(ky=ky, zw=zw, zc=zc, precision=precision)
@@ -615,6 +618,7 @@ def siddon_pallas_raycast(
     footprint_guard: bool = False,
     guard_pred=None,
     fallback=None,
+    tile_subset=None,
 ) -> jnp.ndarray:
     """Exact Siddon render via Pallas slab-march kernels, fwd + analytic bwd.
 
@@ -644,7 +648,9 @@ def siddon_pallas_raycast(
     other = tuple(d for d in range(3) if d != axis)
     perm3 = (axis,) + other
     H, W = image_shape
-    _, n_tiles_img, _ = _plan_tiles_cached(H, W, tile)
+    if tile_subset is not None:
+        tile_subset = tuple(int(t) for t in tile_subset)
+    _, n_tiles_packed = _subset_perm(H, W, tile, tile_subset)
     TR = tile * tile
     Yp, Zp = _padded_transverse(dims, axis, ky, zw)
 
@@ -652,10 +658,11 @@ def siddon_pallas_raycast(
         raise ValueError("footprint_guard/guard_pred require a fallback")
 
     rays_tiled = _prep_rays(source, target, weights, perm3, dims, H, W,
-                            tile, voxel_shift, 1, eps, quadrature="siddon")
+                            tile, voxel_shift, 1, eps, quadrature="siddon",
+                            tile_subset=tile_subset)
     ret = _compute_starts(
-        rays_tiled, B * n_tiles_img, TR, dims[axis], 1, Yp, Zp, ky, zw, zc,
-        with_fit=footprint_guard, y0=dims[other[0]], z0=dims[other[1]],
+        rays_tiled, B * n_tiles_packed, TR, dims[axis], 1, Yp, Zp, ky, zw,
+        zc, with_fit=footprint_guard, y0=dims[other[0]], z0=dims[other[1]],
         quadrature="siddon",
     )
     starts, fits = ret if footprint_guard else (ret, None)
@@ -664,6 +671,7 @@ def siddon_pallas_raycast(
         dims, tuple(image_shape), axis, voxel_shift, eps, tile, ky,
         zw, zc, precision, storage, interpret, use_prepped, resident,
         reducefn,
+        **({} if tile_subset is None else {"tile_subset": tile_subset}),
     )
     prepped = prepped_vol if use_prepped else jnp.zeros((0,), jnp.float32)
 

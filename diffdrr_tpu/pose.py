@@ -35,6 +35,8 @@ from typing import Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
+from ._precision import f32_matmuls
+
 __all__ = [
     "RigidTransform",
     "convert",
@@ -647,6 +649,9 @@ class RigidTransform:
         return T.compose(self)
 
     # --- geometry ---
+    # f32_matmuls: bf16-default TPU matmuls on O(100 mm) coordinates corrupt
+    # downstream pose gradients (~100% rel error measured); see _precision.py.
+    @f32_matmuls
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """Apply the transform(s) to a pointcloud (..., N, 3)."""
         x = jnp.asarray(x)
@@ -677,6 +682,7 @@ class RigidTransform:
     def astype(self, dtype) -> "RigidTransform":
         return RigidTransform(self.matrix.astype(dtype), self.eps)
 
+    @f32_matmuls
     def inverse(self) -> "RigidTransform":
         """Closed-form inverse for orthonormal rotations, solve otherwise.
 
@@ -693,12 +699,14 @@ class RigidTransform:
         general = jnp.linalg.inv(self.matrix)
         return RigidTransform(jnp.where(ortho, fast, general), self.eps)
 
+    @f32_matmuls
     def compose(self, T: "RigidTransform") -> "RigidTransform":
         """Returns the transform `x -> T(self(x))` (reference: pose.py:69-71)."""
         return RigidTransform(
             jnp.einsum("bij,bjk->bik", T.matrix, self.matrix), self.eps
         )
 
+    @f32_matmuls
     def convert(
         self,
         parameterization: str,
@@ -741,6 +749,7 @@ class RigidTransform:
             )
         return rotation, translation
 
+    @f32_matmuls
     def get_se3_log(self) -> jnp.ndarray:
         return se3_log_map(self.matrix)
 
@@ -748,6 +757,7 @@ class RigidTransform:
         return f"RigidTransform(matrix={self.matrix!r})"
 
 
+@f32_matmuls
 def convert(
     *args,
     parameterization: str,

@@ -68,7 +68,61 @@ def test_pose_gradient_parity_on_hardware(subject, renderer):
     g = np.asarray(jax.jit(jax.grad(lambda r, d: loss(r, d, False)))(rot, drr))
     go = np.asarray(jax.jit(jax.grad(lambda r, d: loss(r, d, True)))(rot, drr))
     rel = np.abs(g - go).max() / (np.abs(go).max() + 1e-12)
-    assert rel < 1e-3, (rel, g, go)
+    # 2e-3: kernel and oracle are ~3e-4 / ~7e-4 from the CPU truth each
+    # (measured round 3); the absolute check below is the strong gate.
+    assert rel < 2e-3, (rel, g, go)
+
+
+def test_pose_gradient_absolute_vs_cpu(subject):
+    """ABSOLUTE pose-gradient correctness: TPU kernel vs a CPU-subprocess
+    oracle gradient.
+
+    Round-3 regression guard: kernel-vs-oracle parity ON the TPU shares the
+    upstream pose->detector->affine chain, so a corruption there (the bf16
+    default-matmul bug, ~100% rel error before _precision.f32_matmuls) is
+    invisible to relative checks. The CPU subprocess shares NOTHING.
+    """
+    import subprocess
+    import sys
+
+    rot, trans = _inputs()
+    drr = DRR(subject, sdd=1020.0, height=96, delx=4.0, renderer="joseph",
+              precision="highest")
+
+    def loss(r, d):
+        return jnp.mean(d(r, trans, parameterization="euler_angles",
+                          convention="ZXY", axis=2))
+
+    g = np.asarray(jax.jit(jax.grad(loss))(rot, drr))
+
+    code = """
+import sys, numpy as np
+sys.path.insert(0, {root!r})
+import jax; jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from diffdrr_tpu import DRR, load_example_ct
+subject = load_example_ct(shape=(256, 256, 133))
+rot = jnp.asarray([[0.01, np.pi / 2 + 0.02, -0.01]], jnp.float32)
+trans = jnp.asarray([[0.0, 850.0, 0.0]], jnp.float32)
+drr = DRR(subject, sdd=1020.0, height=96, delx=4.0, renderer="joseph",
+          precision="highest")
+def loss(r, d):
+    return jnp.mean(d(r, trans, parameterization="euler_angles",
+                      convention="ZXY", axis=2, force_xla=True))
+g = np.asarray(jax.jit(jax.grad(loss))(rot, drr))
+print("GOLD", " ".join(repr(float(v)) for v in g.ravel()))
+"""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run([sys.executable, "-c", code.format(root=root)],
+                         capture_output=True, text=True, timeout=900,
+                         env={**os.environ, "DIFFDRR_TPU_TESTS": ""})
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("GOLD")][0]
+    gc = np.asarray([float(v) for v in line.split()[1:]]).reshape(g.shape)
+    rel = np.abs(g - gc).max() / (np.abs(gc).max() + 1e-12)
+    assert rel < 2e-3, (rel, g, gc)
 
 
 @pytest.mark.parametrize("renderer", ["siddon", "joseph"])
