@@ -343,6 +343,15 @@ def main(smoke=False):
         cmd = [_sys.executable, "tools/bench_scaling.py"]
         if n_real < 2:
             cmd += ["--cpu-devices", "8"]
+        else:
+            # CAVEAT: with >=2 real chips the child would re-initialize the
+            # same TPU devices this parent already holds — libtpu's
+            # single-owner semantics typically fail or hang there (the
+            # watchdog then degrades this to an errors entry). Real
+            # multi-chip ICI efficiency should be measured standalone
+            # (`python tools/bench_scaling.py` with nothing else holding
+            # the chips), not from inside bench.py.
+            pass
         if smoke:
             cmd += ["--height", "64", "--volume-size", "32", "--iters", "2",
                     "--reps", "1"]

@@ -27,8 +27,9 @@ __all__ = [
 
 
 _SUBMODULES = (
-    "checkpoint", "data", "detector", "drr", "metrics", "nifti", "ops",
-    "parallel", "pose", "profiling", "registration", "utils", "viz", "native",
+    "checkpoint", "data", "detector", "drr", "meshops", "metrics", "nifti",
+    "ops", "parallel", "pose", "profiling", "registration", "scene_html",
+    "utils", "viz", "native",
 )
 
 

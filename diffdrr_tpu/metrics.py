@@ -16,7 +16,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from ._precision import f32_matmuls
+from ._precision import f32_image_metrics, f32_matmuls
 import numpy as np
 
 from .pose import RigidTransform, so3_log_map
@@ -87,7 +87,7 @@ class NormalizedCrossCorrelation2d:
         self.patch_size = patch_size
         self.eps = eps
 
-    @f32_matmuls
+    @f32_image_metrics
     def __call__(self, x1, x2):
         return ncc2d(x1, x2, self.patch_size, self.eps)
 
@@ -108,7 +108,7 @@ class MultiscaleNormalizedCrossCorrelation2d:
         self.patch_weights = list(patch_weights)
         self.eps = eps
 
-    @f32_matmuls
+    @f32_image_metrics
     def __call__(self, x1, x2):
         scores = [
             w * ncc2d(x1, x2, p, self.eps)
@@ -173,7 +173,7 @@ class Sobel:
     def __init__(self, sigma: float):
         self.sigma = sigma
 
-    @f32_matmuls
+    @f32_image_metrics
     def __call__(self, img):
         return sobel(img, self.sigma)
 
@@ -187,7 +187,7 @@ class GradientNormalizedCrossCorrelation2d(NormalizedCrossCorrelation2d):
         super().__init__(patch_size, **kwargs)
         self.sobel = Sobel(sigma)
 
-    @f32_matmuls
+    @f32_image_metrics
     def __call__(self, x1, x2):
         return super().__call__(self.sobel(x1), self.sobel(x2))
 
@@ -261,7 +261,7 @@ class MutualInformation:
         self.epsilon = epsilon
         self.normalize = normalize
 
-    @f32_matmuls
+    @f32_image_metrics
     def __call__(self, x1, x2):
         return mutual_information(
             x1, x2, self.sigma, self.num_bins, self.epsilon, self.normalize

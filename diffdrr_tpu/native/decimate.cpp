@@ -1,0 +1,330 @@
+// Quadric edge-collapse mesh decimation (Garland & Heckbert, SIGGRAPH '97).
+//
+// Native core for diffdrr_tpu.meshops.decimate — the parity target is the
+// reference's pyvista decimate_pro(0.25) step in drr_to_mesh
+// (/root/reference/diffdrr/visualization.py:266-267). A 512^3 CT surface is
+// millions of faces; the pure-Python fallback in meshops.py implements the
+// identical algorithm ~100x slower.
+//
+// Semantics (kept in lockstep with meshops._decimate_python):
+//   * area-weighted face quadrics
+//   * boundary-edge constraint planes (weight 1e3 * edge length)
+//   * optimal collapse point via regularized 3x3 solve, fallback
+//     midpoint/endpoints
+//   * normal-flip rejection over surviving adjacent faces
+//   * lazy min-heap with per-vertex versioning
+//
+// C ABI (ctypes): qem_decimate(...) -> 0 on success; caller frees the two
+// output buffers with qem_free.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <map>
+#include <queue>
+#include <set>
+#include <vector>
+
+namespace {
+
+struct Quadric {
+  // Symmetric 4x4, upper triangle: xx xy xz xw yy yz yw zz zw ww.
+  double q[10] = {0};
+  void add_plane(double a, double b, double c, double d, double w) {
+    q[0] += w * a * a; q[1] += w * a * b; q[2] += w * a * c; q[3] += w * a * d;
+    q[4] += w * b * b; q[5] += w * b * c; q[6] += w * b * d;
+    q[7] += w * c * c; q[8] += w * c * d;
+    q[9] += w * d * d;
+  }
+  Quadric operator+(const Quadric& o) const {
+    Quadric r;
+    for (int i = 0; i < 10; i++) r.q[i] = q[i] + o.q[i];
+    return r;
+  }
+  double eval(const double p[3]) const {
+    const double x = p[0], y = p[1], z = p[2];
+    return q[0] * x * x + 2 * q[1] * x * y + 2 * q[2] * x * z + 2 * q[3] * x +
+           q[4] * y * y + 2 * q[5] * y * z + 2 * q[6] * y +
+           q[7] * z * z + 2 * q[8] * z + q[9];
+  }
+};
+
+inline void cross(const double a[3], const double b[3], double out[3]) {
+  out[0] = a[1] * b[2] - a[2] * b[1];
+  out[1] = a[2] * b[0] - a[0] * b[2];
+  out[2] = a[0] * b[1] - a[1] * b[0];
+}
+
+inline double norm3(const double a[3]) {
+  return std::sqrt(a[0] * a[0] + a[1] * a[1] + a[2] * a[2]);
+}
+
+// Solve (A + eps I) x = b for symmetric 3x3 A given by quadric block.
+bool solve3(const Quadric& Q, double out[3]) {
+  double A[3][3] = {{Q.q[0] + 1e-9, Q.q[1], Q.q[2]},
+                    {Q.q[1], Q.q[4] + 1e-9, Q.q[5]},
+                    {Q.q[2], Q.q[5], Q.q[7] + 1e-9}};
+  double b[3] = {-Q.q[3], -Q.q[6], -Q.q[8]};
+  // Gaussian elimination with partial pivoting.
+  int piv[3] = {0, 1, 2};
+  for (int c = 0; c < 3; c++) {
+    int best = c;
+    for (int r = c + 1; r < 3; r++)
+      if (std::fabs(A[piv[r]][c]) > std::fabs(A[piv[best]][c])) best = r;
+    std::swap(piv[c], piv[best]);
+    double d = A[piv[c]][c];
+    if (std::fabs(d) < 1e-30) return false;
+    for (int r = c + 1; r < 3; r++) {
+      double f = A[piv[r]][c] / d;
+      for (int k = c; k < 3; k++) A[piv[r]][k] -= f * A[piv[c]][k];
+      b[piv[r]] -= f * b[piv[c]];
+    }
+  }
+  for (int c = 2; c >= 0; c--) {
+    double s = b[piv[c]];
+    for (int k = c + 1; k < 3; k++) s -= A[piv[c]][k] * out[k];
+    out[c] = s / A[piv[c]][c];
+    if (!std::isfinite(out[c])) return false;
+  }
+  return true;
+}
+
+struct HeapEntry {
+  double cost;
+  int64_t a, b;
+  int64_t ver_a, ver_b;
+  double pt[3];
+  bool operator>(const HeapEntry& o) const { return cost > o.cost; }
+};
+
+}  // namespace
+
+extern "C" {
+
+void qem_free(void* p) { std::free(p); }
+
+int qem_decimate(const float* verts, int64_t nv, const int64_t* faces,
+                 int64_t nf, int64_t target_faces, float** out_verts,
+                 int64_t* out_nv, int64_t** out_faces, int64_t* out_nf) {
+  if (nv <= 0 || nf <= 0 || target_faces < 0) return 1;
+  std::vector<double> V(3 * nv);
+  for (int64_t i = 0; i < 3 * nv; i++) V[i] = verts[i];
+  std::vector<int64_t> F(faces, faces + 3 * nf);
+  std::vector<Quadric> Q(nv);
+
+  // Face quadrics (area-weighted).
+  for (int64_t f = 0; f < nf; f++) {
+    const int64_t a = F[3 * f], b = F[3 * f + 1], c = F[3 * f + 2];
+    if (a < 0 || a >= nv || b < 0 || b >= nv || c < 0 || c >= nv) return 2;
+    double e1[3] = {V[3 * b] - V[3 * a], V[3 * b + 1] - V[3 * a + 1],
+                    V[3 * b + 2] - V[3 * a + 2]};
+    double e2[3] = {V[3 * c] - V[3 * a], V[3 * c + 1] - V[3 * a + 1],
+                    V[3 * c + 2] - V[3 * a + 2]};
+    double n[3];
+    cross(e1, e2, n);
+    double area = norm3(n);
+    double inv = 1.0 / std::max(area, 1e-30);
+    n[0] *= inv; n[1] *= inv; n[2] *= inv;
+    double d = -(n[0] * V[3 * a] + n[1] * V[3 * a + 1] + n[2] * V[3 * a + 2]);
+    double w = std::max(area, 1e-30);
+    Q[a].add_plane(n[0], n[1], n[2], d, w);
+    Q[b].add_plane(n[0], n[1], n[2], d, w);
+    Q[c].add_plane(n[0], n[1], n[2], d, w);
+  }
+
+  // Edge -> incident faces (for boundary detection + initial edge set).
+  std::map<std::pair<int64_t, int64_t>, std::vector<int64_t>> edge_faces;
+  for (int64_t f = 0; f < nf; f++) {
+    for (int e = 0; e < 3; e++) {
+      int64_t a = F[3 * f + e], b = F[3 * f + (e + 1) % 3];
+      if (a > b) std::swap(a, b);
+      edge_faces[{a, b}].push_back(f);
+    }
+  }
+  for (const auto& kv : edge_faces) {
+    if (kv.second.size() != 1) continue;
+    const int64_t a = kv.first.first, b = kv.first.second;
+    const int64_t f = kv.second[0];
+    const int64_t fa = F[3 * f], fb = F[3 * f + 1], fc = F[3 * f + 2];
+    double e1[3] = {V[3 * fb] - V[3 * fa], V[3 * fb + 1] - V[3 * fa + 1],
+                    V[3 * fb + 2] - V[3 * fa + 2]};
+    double e2[3] = {V[3 * fc] - V[3 * fa], V[3 * fc + 1] - V[3 * fa + 1],
+                    V[3 * fc + 2] - V[3 * fa + 2]};
+    double fn[3];
+    cross(e1, e2, fn);
+    double fl = norm3(fn);
+    if (fl < 1e-30) continue;
+    fn[0] /= fl; fn[1] /= fl; fn[2] /= fl;
+    double ev[3] = {V[3 * b] - V[3 * a], V[3 * b + 1] - V[3 * a + 1],
+                    V[3 * b + 2] - V[3 * a + 2]};
+    double cn[3];
+    cross(ev, fn, cn);
+    double cl = norm3(cn);
+    if (cl < 1e-30) continue;
+    cn[0] /= cl; cn[1] /= cl; cn[2] /= cl;
+    double d = -(cn[0] * V[3 * a] + cn[1] * V[3 * a + 1] + cn[2] * V[3 * a + 2]);
+    double w = 1e3 * norm3(ev);
+    Q[a].add_plane(cn[0], cn[1], cn[2], d, w);
+    Q[b].add_plane(cn[0], cn[1], cn[2], d, w);
+  }
+
+  std::vector<std::set<int64_t>> vert_faces(nv);
+  for (int64_t f = 0; f < nf; f++)
+    for (int e = 0; e < 3; e++) vert_faces[F[3 * f + e]].insert(f);
+  std::vector<char> alive(nf, 1);
+  std::vector<int64_t> version(nv, 0);
+
+  auto optimal = [&](int64_t a, int64_t b, double out_pt[3]) -> double {
+    Quadric qs = Q[a] + Q[b];
+    double cand[3][3];
+    int nc = 0;
+    if (solve3(qs, cand[nc])) nc++;
+    for (int k = 0; k < 3; k++)
+      cand[nc][k] = 0.5 * (V[3 * a + k] + V[3 * b + k]);
+    nc++;
+    for (int k = 0; k < 3; k++) cand[nc][k] = V[3 * a + k];
+    nc++;
+    double best = 1e300;
+    for (int i = 0; i < nc; i++) {
+      double c = qs.eval(cand[i]);
+      if (c < best) {
+        best = c;
+        std::memcpy(out_pt, cand[i], sizeof(cand[i]));
+      }
+    }
+    return best;
+  };
+
+  std::priority_queue<HeapEntry, std::vector<HeapEntry>,
+                      std::greater<HeapEntry>> heap;
+  auto push_edge = [&](int64_t a, int64_t b) {
+    if (a == b) return;
+    if (a > b) std::swap(a, b);
+    HeapEntry e;
+    e.a = a; e.b = b;
+    e.ver_a = version[a]; e.ver_b = version[b];
+    e.cost = optimal(a, b, e.pt);
+    heap.push(e);
+  };
+  for (const auto& kv : edge_faces) push_edge(kv.first.first, kv.first.second);
+  edge_faces.clear();
+
+  int64_t n_alive = nf;
+  std::vector<int64_t> shared, ring;
+  while (n_alive > target_faces && !heap.empty()) {
+    HeapEntry e = heap.top();
+    heap.pop();
+    const int64_t a = e.a, b = e.b;
+    if (version[a] != e.ver_a || version[b] != e.ver_b) continue;
+    shared.clear();
+    for (int64_t f : vert_faces[a])
+      if (alive[f] && vert_faces[b].count(f)) shared.push_back(f);
+    if (shared.empty()) continue;  // no longer an edge
+
+    // Normal-flip rejection on surviving faces around a and b.
+    bool flip = false;
+    auto check_ring = [&](int64_t v) {
+      for (int64_t f : vert_faces[v]) {
+        if (flip) return;
+        if (!alive[f]) continue;
+        bool is_shared = false;
+        for (int64_t s : shared)
+          if (s == f) { is_shared = true; break; }
+        if (is_shared) continue;
+        double po[3][3], pn[3][3];
+        for (int k = 0; k < 3; k++) {
+          int64_t vi = F[3 * f + k];
+          for (int d = 0; d < 3; d++) po[k][d] = V[3 * vi + d];
+          if (vi == a || vi == b)
+            std::memcpy(pn[k], e.pt, sizeof(e.pt));
+          else
+            std::memcpy(pn[k], po[k], sizeof(po[k]));
+        }
+        double eo1[3] = {po[1][0] - po[0][0], po[1][1] - po[0][1],
+                         po[1][2] - po[0][2]};
+        double eo2[3] = {po[2][0] - po[0][0], po[2][1] - po[0][1],
+                         po[2][2] - po[0][2]};
+        double en1[3] = {pn[1][0] - pn[0][0], pn[1][1] - pn[0][1],
+                         pn[1][2] - pn[0][2]};
+        double en2[3] = {pn[2][0] - pn[0][0], pn[2][1] - pn[0][1],
+                         pn[2][2] - pn[0][2]};
+        double no[3], nn[3];
+        cross(eo1, eo2, no);
+        cross(en1, en2, nn);
+        if (no[0] * nn[0] + no[1] * nn[1] + no[2] * nn[2] <= 0) flip = true;
+      }
+    };
+    check_ring(a);
+    if (!flip) check_ring(b);
+    if (flip) continue;
+
+    // Collapse b -> a at e.pt.
+    std::memcpy(&V[3 * a], e.pt, sizeof(e.pt));
+    Q[a] = Q[a] + Q[b];
+    for (int64_t f : shared) {
+      if (alive[f]) {
+        alive[f] = 0;
+        n_alive--;
+      }
+    }
+    for (int64_t f : vert_faces[b]) {
+      if (!alive[f]) continue;
+      for (int k = 0; k < 3; k++)
+        if (F[3 * f + k] == b) F[3 * f + k] = a;
+      vert_faces[a].insert(f);
+    }
+    // Merge face sets (dead faces carried along; filtered by alive[]).
+    vert_faces[a].insert(vert_faces[b].begin(), vert_faces[b].end());
+    vert_faces[b].clear();
+    version[a]++;
+    version[b]++;
+    ring.clear();
+    for (int64_t f : vert_faces[a]) {
+      if (!alive[f]) continue;
+      for (int k = 0; k < 3; k++) {
+        int64_t v = F[3 * f + k];
+        if (v != a) ring.push_back(v);
+      }
+    }
+    std::sort(ring.begin(), ring.end());
+    ring.erase(std::unique(ring.begin(), ring.end()), ring.end());
+    for (int64_t nb : ring) push_edge(a, nb);
+  }
+
+  // Compact output: surviving faces, used vertices.
+  std::vector<int64_t> remap(nv, -1);
+  std::vector<int64_t> of;
+  of.reserve(3 * n_alive);
+  int64_t nnv = 0;
+  for (int64_t f = 0; f < nf; f++) {
+    if (!alive[f]) continue;
+    for (int k = 0; k < 3; k++) {
+      int64_t v = F[3 * f + k];
+      if (remap[v] < 0) remap[v] = nnv++;
+      of.push_back(remap[v]);
+    }
+  }
+  float* vo = static_cast<float*>(std::malloc(sizeof(float) * 3 * std::max<int64_t>(nnv, 1)));
+  int64_t* fo = static_cast<int64_t*>(
+      std::malloc(sizeof(int64_t) * std::max<size_t>(of.size(), 1)));
+  if (!vo || !fo) {
+    std::free(vo);
+    std::free(fo);
+    return 3;
+  }
+  for (int64_t v = 0; v < nv; v++) {
+    if (remap[v] < 0) continue;
+    for (int d = 0; d < 3; d++)
+      vo[3 * remap[v] + d] = static_cast<float>(V[3 * v + d]);
+  }
+  std::memcpy(fo, of.data(), sizeof(int64_t) * of.size());
+  *out_verts = vo;
+  *out_nv = nnv;
+  *out_faces = fo;
+  *out_nf = static_cast<int64_t>(of.size() / 3);
+  return 0;
+}
+
+}  // extern "C"

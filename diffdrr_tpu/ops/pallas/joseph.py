@@ -1343,6 +1343,16 @@ def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
     ``tile_subset`` (sparse rendering, reference detector.py:134-137): only
     the listed detector tiles are packed and rendered; the row-major output
     is 0 at un-rendered rays (the caller gathers the sampled subset).
+    CACHE INVARIANT: ``tile_subset`` is part of this lru key, so every
+    distinct occupied-tile set is a fresh Pallas compile (20-90 s via the
+    remote compile server). That is safe ONLY because subsampling is drawn
+    once at Detector construction (detector.py ``n_subsample``) and the
+    occupied-tile set is therefore fixed for the life of the DRR. If
+    per-call resampling (the reference's per-forward randperm) is ever
+    added, do NOT thread the fresh subset through here — key the kernel on
+    ``len(tile_subset)`` only and pass the tile indices as a runtime array
+    (prefetched scalar), or the "tiles" strategy will recompile every
+    iteration and churn this 64-entry cache.
     """
     H, W = image_shape
     other = tuple(d for d in range(3) if d != axis)

@@ -445,8 +445,21 @@ def rotation_10d_to_quaternion(rotation: jnp.ndarray) -> jnp.ndarray:
 
     Peretroukhin et al. (https://arxiv.org/abs/2006.01031); reference:
     pose.py:218-226. ``eigh`` returns ascending eigenvalues, so column 0.
+
+    The 4x4 eigendecomposition runs in an f64 island (mirroring the
+    reference's f64 PnP at utils.py:110-111): an f32 eigh leaves ~5e-6
+    quaternion error (eps*kappa), which the camera-center convention
+    (``t_stored = R @ t``) amplifies to ~3e-4 mm on O(50 mm) translations —
+    at the edge of the reference-parity tolerance. Enabled on backends
+    verified to lower f64 eigh (CPU, and the axon TPU tunnel — probed round
+    4, 3 s compile); elsewhere the f32 path stands: ~5e-6 quaternion error
+    is far below registration noise, and pose conversion is not a hot path.
     """
     A = _10vec_to_4x4symmetric(rotation)
+    if jax.default_backend() in ("cpu", "axon"):
+        with jax.enable_x64(True):
+            _, vecs = jnp.linalg.eigh(A.astype(jnp.float64))
+        return vecs[..., 0].astype(rotation.dtype)
     _, vecs = jnp.linalg.eigh(A)
     return vecs[..., 0]
 

@@ -472,29 +472,48 @@ def drr_to_mesh(
     method: str = "surface_nets",
     threshold: float = 300.0,
     smooth_iters: Optional[int] = None,
+    extract_largest: bool = True,
+    decimate_reduction: Optional[float] = None,
+    fill_hole_size: float = 100.0,
     verbose: bool = True,
 ) -> Mesh:
     """CT volume -> bone-surface mesh in world coordinates.
 
-    Reference: visualization.py:200-279. ``method="surface_nets"`` (the
-    reference's recommended flavor for anatomy) runs the native Surface Nets
-    mesher with Taubin smoothing; ``method="marching_cubes"`` runs true
-    marching cubes (edge-interpolated vertices, native table marcher).
+    Reference pipeline (visualization.py:200-279): surface extraction ->
+    extract_largest -> smooth -> decimate(0.25, marching_cubes only) ->
+    fill_holes(100) -> clean. ``method="surface_nets"`` (the reference's
+    recommended flavor for anatomy) runs the native Surface Nets mesher
+    with Taubin smoothing; ``method="marching_cubes"`` runs true marching
+    cubes (edge-interpolated vertices, native table marcher).
 
     ``smooth_iters=None`` uses each method's default (10 Taubin iterations
     for Surface Nets, 0 for marching cubes — its vertices are already
     edge-interpolated); an explicit value is honored by both methods.
+    ``decimate_reduction=None`` mirrors the reference: 0.25 for marching
+    cubes, no decimation for surface nets. Post-processing lives in
+    :mod:`diffdrr_tpu.meshops` (native QEM decimation + NumPy fill/clean).
     """
     del verbose
+    from . import meshops
+
     vol = np.asarray(subject.volume.data, np.float32)
     if method == "marching_cubes":
         mesh = marching_cubes(
             vol, threshold, 0 if smooth_iters is None else smooth_iters)
+        if decimate_reduction is None:
+            decimate_reduction = 0.25
     elif method == "surface_nets":
         mesh = surface_nets(
             vol, threshold, 10 if smooth_iters is None else smooth_iters)
     else:
         raise ValueError(f"unknown mesh method {method!r}")
+    if extract_largest and mesh.n_faces:
+        mesh = meshops.extract_largest(mesh)
+    if decimate_reduction and mesh.n_faces:
+        mesh = meshops.decimate(mesh, decimate_reduction)
+    if fill_hole_size and mesh.n_faces:
+        mesh = meshops.fill_holes(mesh, fill_hole_size)
+    mesh = meshops.clean(mesh)
     return mesh.transform(np.asarray(subject.volume.affine))
 
 
@@ -507,11 +526,15 @@ def labelmap_to_mesh(
     """Binary structure mask -> mesh (reference: visualization.py:282-317)."""
     if isinstance(labels, int):
         labels = [labels]
+    from . import meshops
+
     mask = np.isin(np.asarray(subject.mask.data), np.asarray(labels))
     if method == "marching_cubes":
         mesh = marching_cubes(mask.astype(np.float32), 0.5)
     else:
         mesh = surface_nets(mask.astype(np.float32), 0.5, smooth_iters)
+    # Reference: smooth_taubin -> clean (visualization.py:301-311).
+    mesh = meshops.clean(mesh)
     return mesh.transform(np.asarray(subject.mask.affine))
 
 

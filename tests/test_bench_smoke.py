@@ -21,6 +21,7 @@ EXPECTED_METRICS = {
     "trilinear_fwd_posebwd_200_n500",
     "siddon_fwd_1000",
     "registration_iters_per_s_200",
+    "scaling",
 }
 
 
@@ -41,6 +42,9 @@ def test_bench_smoke_emits_full_metric_set():
     assert "errors" not in out, out["errors"]
     assert set(out["extra"]) == EXPECTED_METRICS
     for name, m in out["extra"].items():
+        if name == "scaling":
+            assert m.get("scaling_efficiency", 0) > 0, m
+            continue
         assert m.get("ms", m.get("ms_per_iter")) > 0, name
 
 
