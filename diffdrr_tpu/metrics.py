@@ -62,16 +62,57 @@ def _normalize_local(x: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (x - mu) / jnp.sqrt(var)
 
 
+def _box_sum(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Per-channel VALID p x p box sum via two separable 1-D convolutions."""
+    B, C, H, W = x.shape
+    kh = jnp.ones((C, 1, p, 1), x.dtype)
+    kw = jnp.ones((C, 1, 1, p), x.dtype)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
+                                        ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
+                                     dimension_numbers=dn,
+                                     feature_group_count=C)
+    return jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
+                                        dimension_numbers=dn,
+                                        feature_group_count=C)
+
+
 def ncc2d(
     x1: jnp.ndarray,
     x2: jnp.ndarray,
     patch_size: Optional[int] = None,
     eps: float = 1e-5,
 ) -> jnp.ndarray:
-    """Normalized cross-correlation, optionally patchwise (metrics.py:21-44)."""
+    """Normalized cross-correlation, optionally patchwise (metrics.py:21-44).
+
+    The patchwise score is the mean over all stride-1 patch centers of the
+    per-patch normalized correlation. The reference materializes every
+    patch (unfold -> (B, C*nH*nW, p, p), metrics.py:16-18) — p^2 times the
+    image in memory traffic. Here the identical quantity comes from box-
+    filtered sufficient statistics (five separable p x p box sums):
+
+        ncc_c = (E[x1 x2] - mu1 mu2) / sqrt((var1 + eps)(var2 + eps))
+
+    per center c, averaged. Algebraically equal to normalizing each patch
+    and correlating (the eps lands on the biased variance exactly as
+    ``_normalize_local`` puts it); measured ~5x faster fwd+grad on TPU at
+    200^2/p=13 (tools/ab_f32metrics.py --micro vs round-3).
+    """
     if patch_size is not None:
-        x1 = to_patches(x1, patch_size)
-        x2 = to_patches(x2, patch_size)
+        assert x1.shape == x2.shape, "Input images must be the same size"
+        p = patch_size
+        n = float(p * p)
+        s1 = _box_sum(x1, p) / n
+        s2 = _box_sum(x2, p) / n
+        s11 = _box_sum(x1 * x1, p) / n
+        s22 = _box_sum(x2 * x2, p) / n
+        s12 = _box_sum(x1 * x2, p) / n
+        cov = s12 - s1 * s2
+        # max(., 0): E[x^2]-mu^2 cancellation can dip a hair negative in f32.
+        var1 = jnp.maximum(s11 - s1 * s1, 0.0) + eps
+        var2 = jnp.maximum(s22 - s2 * s2, 0.0) + eps
+        ncc = cov / jnp.sqrt(var1 * var2)
+        return jnp.mean(ncc, axis=(1, 2, 3))
     assert x1.shape == x2.shape, "Input images must be the same size"
     _, c, h, w = x1.shape
     x1 = _normalize_local(x1, eps)

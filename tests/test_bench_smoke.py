@@ -19,7 +19,10 @@ EXPECTED_METRICS = {
     "joseph_fwd_posebwd_200",
     "trilinear_kernel_fwd_200_n500",
     "trilinear_fwd_posebwd_200_n500",
+    "trilinear_fwd_200_n500_literal",
     "siddon_fwd_1000",
+    "siddon_fwd_200_512cube",
+    "joseph_fwd_200_512cube",
     "registration_iters_per_s_200",
     "scaling",
 }

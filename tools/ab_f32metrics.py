@@ -30,6 +30,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--f32-metrics", type=int, required=True)
     ap.add_argument("--cpu", action="store_true", help="tiny smoke on CPU")
+    ap.add_argument("--micro", action="store_true",
+                    help="time ONLY the multiscale-NCC fwd+grad (isolates "
+                         "the metric's precision cost; compiles in seconds "
+                         "vs the full registration scan's remote compile)")
     args = ap.parse_args()
 
     os.environ["DIFFDRR_TPU_F32_METRICS"] = "1" if args.f32_metrics else "0"
@@ -53,6 +57,36 @@ def main():
 
     shape = (96, 96, 48) if args.cpu else (512, 512, 133)
     h, delx = (48, 800.0 / 48) if args.cpu else (200, 2.0)
+
+    if args.micro:
+        from diffdrr_tpu.metrics import MultiscaleNormalizedCrossCorrelation2d
+
+        metric = MultiscaleNormalizedCrossCorrelation2d([None, 13], [0.5, 0.5])
+        key = jax.random.PRNGKey(0)
+        tgt = jax.random.uniform(key, (1, 1, h, h), jnp.float32)
+
+        @partial(jax.jit, static_argnames=("iters",))
+        def run(img0, iters):
+            def body(carry, _):
+                img, acc = carry
+                val, g = jax.value_and_grad(
+                    lambda im: jnp.mean(metric(im, tgt)))(img)
+                img = img + 1e-6 * val + 1e-9 * g
+                return (img, acc + val), None
+
+            (_, acc), _ = jax.lax.scan(body, (img0, jnp.float32(0.0)), None,
+                                       length=iters)
+            return acc
+
+        img0 = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, h, h))
+        kw = dict(iters=2, reps=1) if args.cpu else dict(iters=16, reps=3)
+        t = bench._per_iter(lambda x, n: run(x, n), img0, **kw)
+        print(json.dumps({
+            "f32_metrics": bool(args.f32_metrics), "micro": True,
+            "ms_per_iter": round(t * 1e3, 3),
+        }))
+        return
+
     subject = load_example_ct(shape=shape)
     trans = jnp.asarray([[0.0, 850.0, 0.0]], jnp.float32)
     rot0 = jnp.asarray([[0.01, np.pi / 2 + 0.02, -0.01]], jnp.float32)

@@ -61,14 +61,18 @@ def parse_sweep(path):
 
 
 def config_kwargs(name):
-    """Sweep config name -> DRR kwargs (mirrors tools/sweep_tile.py)."""
-    m = re.match(r"(joseph|siddon)_t(\d+)(?:_fp(\d+))?$", name)
+    """Sweep config name -> (DRR kwargs, volume z-extent).
+
+    Mirrors tools/sweep_tile.py; a ``_v512`` suffix marks the 512^3
+    streaming-volume sweep (nonzero DMA column).
+    """
+    m = re.match(r"(joseph|siddon)_t(\d+)(?:_fp(\d+))?(_v512)?$", name)
     if not m:
         return None
     kw = dict(renderer=m.group(1), pallas_tile=int(m.group(2)))
     if m.group(3):
         kw["pallas_fp_scale"] = int(m.group(3)) / 10.0
-    return kw
+    return kw, (512 if m.group(4) else 133)
 
 
 def nnls(A, b):
@@ -91,15 +95,27 @@ def main(argv):
               f"{sorted(measured)}", file=sys.stderr)
         return 1
 
-    subject = load_example_ct(shape=(512, 512, 133))
+    subjects = {}
+
+    def subject_for(z):
+        if z not in subjects:
+            subjects[z] = load_example_ct(shape=(512, 512, z))
+        return subjects[z]
+
     rows, times, names, cfgs = [], [], [], {}
     for name, ms in sorted(measured.items()):
-        drr = DRR(subject, **BENCH_GEOM, **config_kwargs(name))
+        kw, z = config_kwargs(name)
+        drr = DRR(subject_for(z), **BENCH_GEOM, **kw)
         terms, pad, cfg = model_terms(drr)
+        # Times are per-frame; the model is per-ray-per-plane x n_planes.
+        # Normalizing both volumes to the same per-plane basis keeps rows
+        # comparable: divide by the march-plane count ratio vs the 133 CT.
+        plane_ratio = z / 133.0
         rows.append(terms)
-        times.append(ms / pad)
+        times.append(ms / pad / plane_ratio)
         names.append(name)
         cfgs[name] = cfg
+    subject = subject_for(133)
     A, b = np.asarray(rows), np.asarray(times)
     # Column scaling for conditioning.
     scale = A.max(axis=0)

@@ -1,4 +1,9 @@
-"""Sweep pallas tile/window configs for joseph+siddon fwd at 200^2 on TPU."""
+"""Sweep pallas tile/window configs for joseph+siddon fwd at 200^2 on TPU.
+
+``--volume 512`` switches the CT to a 512^3 cube — the non-VMEM-resident
+regime where kernels stream per-plane HBM windows; sweeping there gives the
+cost-model fit a nonzero DMA column (tools/fit_cost_model.py).
+"""
 import os
 import sys
 
@@ -16,7 +21,9 @@ from diffdrr_tpu.profiling import enable_compilation_cache
 # cache lets re-runs of a config skip its remote Pallas compiles.
 enable_compilation_cache()
 
-subject = load_example_ct(shape=(512, 512, 133))
+VOLSIZE = 512 if "--volume" in sys.argv and \
+    sys.argv[sys.argv.index("--volume") + 1] == "512" else 133
+subject = load_example_ct(shape=(512, 512, VOLSIZE))
 trans = jnp.asarray([[0.0, 850.0, 0.0]], jnp.float32)
 rot0 = jnp.asarray([[0.01, np.pi / 2 + 0.02, -0.01]], jnp.float32)
 
@@ -124,11 +131,17 @@ def run_one(name, bwd=False):
     else:
         scanner = render_scanner
     tm = per_iter(scanner(drr, axis=2), rot0)
-    print(f"{name}{'_bwd' if bwd else ''}: {tm*1e3:.3f} ms", flush=True)
+    suffix = ("_v512" if VOLSIZE == 512 else "") + ("_bwd" if bwd else "")
+    print(f"{name}{suffix}: {tm*1e3:.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    volargs = []
+    if "--volume" in args:
+        i = args.index("--volume")
+        volargs = args[i:i + 2]
+        args = args[:i] + args[i + 2:]
     if args and args[0] == "--one":
         run_one(args[1], bwd=len(args) > 2 and args[2] == "bwd")
     else:
@@ -140,5 +153,5 @@ if __name__ == "__main__":
             bwd = name.endswith("_bwd")
             base = name[:-4] if bwd else name
             cmd = [sys.executable, __file__, "--one", base] + (
-                ["bwd"] if bwd else [])
+                ["bwd"] if bwd else []) + volargs
             subprocess.run(cmd, check=False)
