@@ -724,6 +724,13 @@ class DRR:
             resident = opts.pop("resident", None)
             reducefn = opts.pop("reducefn", "sum")
             eps = opts.pop("eps", 1e-8)
+            # Fused value+gradient forward under AD (ops/pallas/joseph
+            # _fwdgrad_kernel): the right default for pose-gradient
+            # workloads (registration); pass False when differentiating
+            # ONLY the density (reconstruction) — there the fused rows are
+            # dead weight (~2x forward-kernel cost) and the lean forward
+            # wins. make_reconstruction_step does this automatically.
+            fused_pose_bwd = opts.pop("fused_pose_bwd", True)
             if (self.renderer_name == "trilinear"
                     and not allow_oversample
                     and n_points > self.density.shape[
@@ -892,6 +899,7 @@ class DRR:
                               else None),
                     tile_subset=(tile_subsets[ax] if tile_subsets is not None
                                  else None),
+                    fused_pose_bwd=fused_pose_bwd,
                 )
                 if mask_to_channels:
                     common["mask"] = self.mask
@@ -930,6 +938,7 @@ class DRR:
         opts.pop("slab_guard", None)
         opts.pop("footprint_guard", None)
         opts.pop("resident", None)
+        opts.pop("fused_pose_bwd", None)
         if self.renderer_name != "trilinear":
             opts.pop("n_points", None)
         if self.renderer_name in ("siddon", "trilinear"):

@@ -72,6 +72,8 @@ _AMAX = 8
 _NROWS = 16  # padded for sublane alignment
 
 
+
+
 def _tent(u):
     return jnp.maximum(0.0, 1.0 - jnp.abs(u))
 
@@ -501,6 +503,9 @@ def _bwd_rays_kernel(
         #                                       factors as scale * t4)
         #   drz = scale * sum_m wy t3          (swap the m/n summation order)
         #   dsc = [inslab] sum_m wy t4
+        # One fused contraction measured faster than two separate dots
+        # (5.77 vs 6.02 ms bwd kernel on v5e, round 4) — the concat copy is
+        # cheaper than the second dot's issue overhead.
         rhs = jnp.concatenate([wz0, _tent_d(uz)], axis=1)  # (ZC, 2*TR)
         t43 = _dot(win, rhs, (((1,), (0,)), ((), ())), precision)
         t4 = t43[:, :tr]  # (KY, TR)
@@ -548,6 +553,130 @@ def _bwd_rays_kernel(
     dout_ref[_GZ : _GZ + 1, :] = acc_ref[4:5, :] * g
     dout_ref[_DZ : _DZ + 1, :] = acc_ref[5:6, :] * g
     dout_ref[_SC : _SC + 1, :] = acc_ref[6:7, :] * g
+
+
+# Fused-output row layout (scalar mode): rows 0..6 are the g-independent
+# gradient terms in dout order (_A.._SC), row 7 the rendered value, row 8
+# the MIP argmax plane (-1 where nothing beat 0).
+_FG_VAL = 7
+_FG_PBEST = 8
+
+
+def _fwdgrad_kernel(
+    *refs, h, ky, zw, zc, precision, blend, resident=False, reduce="sum",
+):
+    """ONE march emitting the value AND the per-ray gradient terms.
+
+    Key observation (round 4): in scalar (non-channel) mode the backward
+    kernel applies the output cotangent ``g`` only ONCE, at the very end
+    (``dout = acc * g``) — the accumulated terms are g-independent. The
+    whole analytic pose backward therefore factors as
+
+        d(rays) = rows(rays, volume) * g[ray]
+
+    with ``rows`` computable during the forward march. Under ``jax.grad``
+    the custom-VJP forward runs THIS kernel instead of ``_fwd_kernel`` +
+    a separate ``_bwd_rays_kernel`` re-march: the value falls out of the
+    same contractions the gradient needs (``contrib = dsc * scale``), so
+    fwd+pose-bwd costs ONE gradient-march instead of a forward march plus
+    a gradient march (measured: joseph 200^2 fwd+pose-bwd 11.2 -> ~8 ms on
+    v5e). Not used in channel mode (the cotangent enters per-plane there)
+    or on the plain inference path (``_fwd_kernel`` stays cheaper).
+
+    ``reduce="max"``: terms are REPLACED (not accumulated) whenever the
+    plane's contribution beats the running maximum — the online form of
+    max's argmax-gated subgradient; the winning plane rides out in row
+    ``_FG_PBEST`` for the volume-gradient kernel.
+    """
+    (starts_ref, rays_ref, vol_ref, out_ref, win_buf, acc_ref, sems) = refs
+    tr = rays_ref.shape[1]
+    n_src = vol_ref.shape[0]
+    r = _ray_rows(rays_ref)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, tr), 0).astype(jnp.float32)
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, tr), 0).astype(jnp.float32)
+    win_init, win_prefetch, win_fetch = _window_reader(
+        vol_ref, starts_ref, win_buf, sems, h, ky, zw, blend, resident)
+    lo, hi = _read_range(starts_ref)
+
+    win_init(lo, hi)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    mip = reduce == "max"
+    if mip:
+        acc_ref[_FG_PBEST : _FG_PBEST + 1, :] = jnp.full_like(
+            acc_ref[_FG_PBEST : _FG_PBEST + 1, :], -1.0)
+
+    def body(p, _):
+        slot = jax.lax.rem(p - lo, 2)
+        nxt = jax.lax.rem(p + 1 - lo, 2)
+        win_prefetch(nxt, p + 1, hi)
+
+        k, alpha, inslab, scale, ry, rz = _plane_geometry(r, p, h, starts_ref)
+        uy = ry - iota_y
+        uz = rz - iota_z
+        wy = _tent(uy)
+        wz0 = _tent(uz)
+
+        win = _blend_win(win_fetch(slot, p), p, h, n_src, blend)
+        win = _roll_window(win, starts_ref[0, p, 2], zc)
+
+        rhs = jnp.concatenate([wz0, _tent_d(uz)], axis=1)  # (ZC, 2*TR)
+        t43 = _dot(win, rhs, (((1,), (0,)), ((), ())), precision)
+        t4 = t43[:, :tr]  # (KY, TR)
+        t3 = t43[:, tr:]
+
+        dry = jnp.sum(_tent_d(uy) * t4, axis=0, keepdims=True) * scale
+        drz = jnp.sum(wy * t3, axis=0, keepdims=True) * scale
+        dsc = jnp.sum(wy * t4, axis=0, keepdims=True)
+        dsc = jnp.where(inslab, dsc, 0.0)
+        contrib = dsc * scale  # == the forward kernel's value contribution
+
+        dalpha = dry * r["dy"] + drz * r["dz"]
+        terms = (dalpha * k, dalpha, dry, dry * alpha, drz, drz * alpha, dsc)
+        if mip:
+            better = contrib > acc_ref[_FG_VAL : _FG_VAL + 1, :]
+            for i, tm in enumerate(terms):
+                acc_ref[i : i + 1, :] = jnp.where(better, tm,
+                                                  acc_ref[i : i + 1, :])
+            acc_ref[_FG_PBEST : _FG_PBEST + 1, :] = jnp.where(
+                better, p.astype(jnp.float32),
+                acc_ref[_FG_PBEST : _FG_PBEST + 1, :])
+            acc_ref[_FG_VAL : _FG_VAL + 1, :] = jnp.where(
+                better, contrib, acc_ref[_FG_VAL : _FG_VAL + 1, :])
+        else:
+            for i, tm in enumerate(terms):
+                acc_ref[i : i + 1, :] += tm
+            acc_ref[_FG_VAL : _FG_VAL + 1, :] += contrib
+        return ()
+
+    jax.lax.fori_loop(lo, hi, body, (), unroll=False)
+    out_ref[...] = acc_ref[...]
+
+
+def _fwdgrad_call(vol, rays_tiled, starts, *, n_tiles, TR, n_planes, h, ky,
+                  zw, zc, precision, blend, n_ch, resident, interpret,
+                  reduce="sum"):
+    assert n_ch is None, "fused fwd+grad is scalar-mode only"
+    kernel = functools.partial(
+        _fwdgrad_kernel, h=h, ky=ky, zw=zw, zc=zc, precision=precision,
+        blend=blend, resident=resident, reduce=reduce,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=_common_specs(n_planes, TR) + [
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((_NROWS, TR), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_NROWS, n_tiles * TR), jnp.float32),
+        scratch_shapes=[
+            _win_scratch(vol, ky, zw, blend, resident),
+            pltpu.VMEM((_NROWS, TR), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        **_vmem_params(resident, vol),
+    )(starts, rays_tiled, vol)
 
 
 def _rmw_double_buffered(lo, hi, load_dma, store_dma, win_buf, dwin_buf,
@@ -864,7 +993,16 @@ def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
     a0 = (min_plane - s_un) / d
     a1 = (max_plane - s_un) / d
     amin = jnp.clip(jnp.max(jnp.minimum(a0, a1), axis=-1), 0.0, None)
-    amax = jnp.minimum(jnp.max(jnp.maximum(a0, a1), axis=-1), 1.0)
+    # min over axes of the per-axis maxima (the LAST exit wins would be
+    # wrong: the ray leaves the volume at the FIRST exit). Round-4 fix: this
+    # was jnp.max, so rays exiting through a transverse face kept "in-slab"
+    # past their exit and deposited partial-tent weight on boundary voxels —
+    # invisible in forward parity (boundary densities ~0 on the phantom,
+    # and nearest/one-hot kernels clip harder) but a 12.5% relative error
+    # on boundary-voxel volume gradients (caught by
+    # tests/test_tpu_hardware.py::test_volume_gradient_parity_on_hardware
+    # at 256^2; tests/test_joseph.py has the CPU regression).
+    amax = jnp.minimum(jnp.min(jnp.maximum(a0, a1), axis=-1), 1.0)
 
     rays = jnp.zeros((_NROWS, B * N), jnp.float32)
     rays = rays.at[_A].set(inv_dx)
@@ -1308,7 +1446,7 @@ def _int_zeros_cotangent(x):
 def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
                  ky, zw, zc, precision, storage, interpret,
                  use_prepped=False, n_ch=None, resident=False, reduce="sum",
-                 tile_subset=None):
+                 tile_subset=None, fused=True):
     """Build the custom-VJP render core for one static configuration.
 
     The VJP boundary sits at PRE-PACKED tiled rays:
@@ -1396,20 +1534,42 @@ def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
     def core_fwd(volume, rays_tiled, starts, prepped, mask):
         B = rays_tiled.shape[1] // padded
         vol, lab = _vols(volume, prepped, mask)
+        if n_ch is None and fused:
+            # Fused value+gradient march (see _fwdgrad_kernel): the value
+            # costs nothing extra on top of the gradient terms, so under AD
+            # the forward kernel is skipped entirely and the rays backward
+            # collapses to `rows * g`.
+            n_tiles = rays_tiled.shape[1] // TR
+            allrows = _fwdgrad_call(vol, rays_tiled, starts,
+                                    n_tiles=n_tiles, reduce=reduce, **kw)
+            untile, _ = _tile_permutes(perm, B, N, TR, n_tiles_img, None)
+            out = untile(allrows[_FG_VAL : _FG_VAL + 1])
+            pbest = allrows[_FG_PBEST : _FG_PBEST + 1] if mip else None
+            rows = allrows[:7]
+            return out, (vol, lab, rays_tiled, starts, pbest, rows)
         out, pbest = _run_fwd(vol, lab, rays_tiled, starts, B)
         # The prepared arrays ride as residuals: backward never re-runs the
         # window-start precompute or the volume transpose.
-        return out, (vol, lab, rays_tiled, starts, pbest)
+        return out, (vol, lab, rays_tiled, starts, pbest, None)
 
     def core_bwd(res, g):
-        vol, lab, rays_tiled, starts, pbest = res
+        vol, lab, rays_tiled, starts, pbest, rows = res
         B = rays_tiled.shape[1] // padded
         n_tiles = rays_tiled.shape[1] // TR
         _, tile_g = _tile_permutes(perm, B, N, TR, n_tiles_img, n_ch)
         g_tiled = tile_g(g)
 
-        d_rays = _bwd_rays_call(vol, rays_tiled, starts, g_tiled, lab,
-                                n_tiles=n_tiles, pbest=pbest, **kw)
+        if rows is not None:
+            # Fused path: rows are g-independent; the rays cotangent is an
+            # elementwise product (rows _A.._SC, zeros elsewhere — amin/amax
+            # enter only through non-differentiable comparisons here).
+            d_rays = jnp.concatenate(
+                [rows * g_tiled,
+                 jnp.zeros((_NROWS - 7, rows.shape[1]), jnp.float32)],
+                axis=0)
+        else:
+            d_rays = _bwd_rays_call(vol, rays_tiled, starts, g_tiled, lab,
+                                    n_tiles=n_tiles, pbest=pbest, **kw)
         d_vol_p = _bwd_vol_call(vol, rays_tiled, starts, g_tiled, lab,
                                 n_tiles=n_tiles, pbest=pbest, **kw)
 
@@ -1457,6 +1617,7 @@ def joseph_pallas_raycast(
     guard_pred=None,
     fallback=None,
     tile_subset=None,
+    fused_pose_bwd: bool = True,
 ) -> jnp.ndarray:
     """Joseph plane-march render via Pallas TPU kernels, fwd + analytic bwd.
 
@@ -1490,6 +1651,12 @@ def joseph_pallas_raycast(
       tile_subset: static tuple of detector-tile indices — only these tiles
         are packed/rendered (true sparse rendering for ``p_subsample``,
         reference detector.py:134-137); un-rendered rays output 0.
+      fused_pose_bwd: under ``jax.grad``, run the fused value+gradient
+        forward march (``_fwdgrad_kernel``) so the rays backward becomes an
+        elementwise product instead of a second march — the right default
+        for pose-gradient workloads. Pass False when differentiating ONLY
+        the density (the fused rows would be dead weight). Scalar mode
+        only; plain (undifferentiated) forwards always use the lean kernel.
 
     Returns (B, 1, N) line integrals ((B, C, N) with a mask). Differentiable
     w.r.t. volume, source, target, and weights (analytic VJP kernels,
@@ -1549,6 +1716,7 @@ def joseph_pallas_raycast(
         # callers/tests that stub it (and the lru key small) on the dense
         # path.
         **({} if tile_subset is None else {"tile_subset": tile_subset}),
+        **({} if fused_pose_bwd else {"fused": False}),
     )
     prepped = prepped_vol if use_prepped else jnp.zeros((0,), jnp.float32)
     lab = mask if mask is not None else jnp.zeros((0,), jnp.float32)

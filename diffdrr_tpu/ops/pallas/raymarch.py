@@ -67,6 +67,7 @@ def raymarch_pallas_raycast(
     guard_pred=None,
     fallback=None,
     tile_subset=None,
+    fused_pose_bwd: bool = True,
 ) -> jnp.ndarray:
     """Trilinear ray-march render via Pallas plane-lerp kernels.
 
@@ -92,4 +93,5 @@ def raymarch_pallas_raycast(
         resident=resident, reducefn=reducefn,
         footprint_guard=footprint_guard, guard_pred=guard_pred,
         fallback=fallback, tile_subset=tile_subset,
+        fused_pose_bwd=fused_pose_bwd,
     )

@@ -384,6 +384,116 @@ def _bwd_rays_kernel(
     dout_ref[_AMAX : _AMAX + 1, :] = acc_ref[8:9, :] * g
 
 
+# Fused-output row layout: rows 0..8 = the g-independent gradient terms in
+# dout order (_A.._AMAX), row 9 = the rendered value.
+_FG_VAL = 9
+
+
+def _fwdgrad_kernel(
+    starts_ref, rays_ref, vol_ref, out_ref, win_buf, acc_ref, sems,
+    *, ky, zw, zc, precision, resident=False,
+):
+    """ONE slab march emitting value AND the g-independent gradient rows.
+
+    Exact-Siddon counterpart of joseph._fwdgrad_kernel (see its docstring
+    for the factorization argument): in scalar sum mode the backward kernel
+    applies the output cotangent once at the end, so the gradient terms can
+    ride along the forward march and the pose backward reduces to
+    ``rows * g``. The value is recovered for free from the per-segment
+    corner values the gradient already needs:
+    ``out = w * (V1 len1 + V2 len2 + V3 len3)`` — algebraically equal to
+    the forward kernel's corner-coefficient contraction (summation order
+    differs by float rounding only). MIP stays on the two-kernel path.
+    """
+    tr = rays_ref.shape[1]
+    r = _ray_rows(rays_ref)
+    iota_y2 = jax.lax.broadcasted_iota(
+        jnp.int32, (ky, 2 * tr), 0).astype(jnp.float32)
+    iota_z2 = jax.lax.broadcasted_iota(
+        jnp.int32, (zc, 2 * tr), 0).astype(jnp.float32)
+    win_init, win_prefetch, win_fetch = _window_reader(
+        vol_ref, starts_ref, win_buf, sems, 1, ky, zw, False, resident)
+    lo, hi = _read_range(starts_ref)
+
+    win_init(lo, hi)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(s, _):
+        slot = jax.lax.rem(s - lo, 2)
+        win_prefetch(jax.lax.rem(s + 1 - lo, 2), s + 1, hi)
+
+        C, ry0, rz0, aux = _slab_segments(r, s, starts_ref)
+        wz, ey2, eyr = _paired_onehots(iota_y2, iota_z2, ry0, rz0)
+
+        win = _roll_window(win_fetch(slot, s)[0], starts_ref[0, s, 2], zc)
+
+        v00, v01, v10, v11 = _corner_values(win, wz, ey2, eyr, precision)
+
+        Vs = []
+        for iy, iz in aux["seg_sel"]:
+            Vs.append(
+                v00 * (1 - iy) * (1 - iz) + v10 * iy * (1 - iz)
+                + v01 * (1 - iy) * iz + v11 * iy * iz
+            )
+        V1, V2, V3 = Vs
+        w = r["sc"]
+
+        d_t1 = w * (V1 - V2)
+        d_t2 = w * (V2 - V3)
+        d_alo = -w * V1
+        d_ahi = w * V3
+
+        ty, tz = aux["ty"], aux["tz"]
+        ty_is_min = (ty <= tz).astype(jnp.float32)
+        d_ty = d_t1 * ty_is_min + d_t2 * (1 - ty_is_min)
+        d_tz = d_t1 * (1 - ty_is_min) + d_t2 * ty_is_min
+
+        alo, ahi = aux["alo"], aux["ahi"]
+
+        def route(t, d_t, g_pos, d_pos):
+            interior = ((t > alo) & (t < ahi)).astype(jnp.float32)
+            at_hi = (t >= ahi).astype(jnp.float32)
+            at_lo = 1.0 - interior - at_hi
+            safe_d = jnp.where(jnp.abs(d_pos) < 1e-20, 1e-20, d_pos)
+            d_g = d_t * interior * (-1.0 / safe_d)
+            d_d = d_t * interior * (-t / safe_d)
+            return d_g, d_d, d_t * at_lo, d_t * at_hi
+
+        d_gy_c, d_dy_c, d_alo_y, d_ahi_y = route(ty, d_ty, r["gy"], r["dy"])
+        d_gz_c, d_dz_c, d_alo_z, d_ahi_z = route(tz, d_tz, r["gz"], r["dz"])
+        d_alo_tot = d_alo + d_alo_y + d_alo_z
+        d_ahi_tot = d_ahi + d_ahi_y + d_ahi_z
+
+        a1, a2 = aux["a1"], aux["a2"]
+        empty = (aux["ahi_raw"] < aux["alo"]).astype(jnp.float32)
+        d_alo_eff = d_alo_tot + empty * d_ahi_tot
+        d_ahi_eff = (1.0 - empty) * d_ahi_tot
+        lo_is_a1 = (a1 <= a2).astype(jnp.float32)
+        lo_interior = (aux["alo"] > r["amin"]).astype(jnp.float32)
+        hi_interior = (aux["ahi_raw"] < r["amax"]).astype(jnp.float32)
+        sf = s.astype(jnp.float32)
+        d_a1 = d_alo_eff * lo_is_a1 * lo_interior + d_ahi_eff * (1 - lo_is_a1) * hi_interior
+        d_a2 = d_alo_eff * (1 - lo_is_a1) * lo_interior + d_ahi_eff * lo_is_a1 * hi_interior
+
+        seg_sum = (V1 * aux["lens"][0] + V2 * aux["lens"][1]
+                   + V3 * aux["lens"][2])
+        acc_ref[0:1, :] += d_a1 * (sf - 0.5) + d_a2 * (sf + 0.5)
+        acc_ref[1:2, :] += d_a1 + d_a2
+        acc_ref[2:3, :] += d_gy_c
+        acc_ref[3:4, :] += d_dy_c
+        acc_ref[4:5, :] += d_gz_c
+        acc_ref[5:6, :] += d_dz_c
+        acc_ref[6:7, :] += seg_sum
+        acc_ref[7:8, :] += d_alo_eff * (1.0 - lo_interior)
+        acc_ref[8:9, :] += d_ahi_eff * (1.0 - hi_interior)
+        acc_ref[_FG_VAL : _FG_VAL + 1, :] += w * seg_sum
+        return ()
+
+    jax.lax.fori_loop(lo, hi, body, (), unroll=False)
+    out_ref[...] = acc_ref[...]
+
+
 def _bwd_vol_kernel(
     *refs, ky, zw, zc, precision, mip=False,
 ):
@@ -459,7 +569,7 @@ def _bwd_vol_kernel(
 @functools.lru_cache(maxsize=64)
 def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
                  precision, storage, interpret, use_prepped=False,
-                 resident=False, reduce="sum", tile_subset=None):
+                 resident=False, reduce="sum", tile_subset=None, fused=True):
     """Custom-VJP exact-Siddon render core over PRE-PACKED tiled rays.
 
     Same boundary as :func:`..joseph._make_joseph`:
@@ -524,11 +634,38 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
     def core_fwd(volume, rays_tiled, starts, prepped):
         B = rays_tiled.shape[1] // padded
         vol = _vol(volume, prepped)
+        if fused and not mip:
+            # Fused value+gradient march (see _fwdgrad_kernel): the rays
+            # backward collapses to `rows * g`.
+            n_tiles = rays_tiled.shape[1] // TR
+            kernel = functools.partial(_fwdgrad_kernel, resident=resident,
+                                       **kw_static)
+            allrows = pl.pallas_call(
+                kernel,
+                grid=(n_tiles,),
+                in_specs=_common_specs(n_planes, TR) + [
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=pl.BlockSpec((_NROWS, TR), lambda t: (0, t),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((_NROWS, n_tiles * TR),
+                                               jnp.float32),
+                scratch_shapes=[
+                    _win_scratch(vol, ky, zw, False, resident),
+                    pltpu.VMEM((_NROWS, TR), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+                interpret=interpret,
+                **_vmem_params(resident, vol),
+            )(starts, rays_tiled, vol)
+            untile, _ = _tile_permutes(perm, B, N, TR, n_tiles_img)
+            out = untile(allrows[_FG_VAL : _FG_VAL + 1])
+            return out, (vol, rays_tiled, starts, None, allrows[:9])
         out, pbest = _run_fwd(vol, rays_tiled, starts, B)
-        return out, (vol, rays_tiled, starts, pbest)
+        return out, (vol, rays_tiled, starts, pbest, None)
 
     def core_bwd(res, gc):
-        vol, rays_tiled, starts, pbest = res
+        vol, rays_tiled, starts, pbest, rows = res
         B = rays_tiled.shape[1] // padded
         n_tiles = rays_tiled.shape[1] // TR
         _, tile_g = _tile_permutes(perm, B, N, TR, n_tiles_img)
@@ -537,29 +674,39 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
                                memory_space=pltpu.VMEM)] if mip else []
         mip_args = (pbest,) if mip else ()
 
-        kernel = functools.partial(_bwd_rays_kernel, resident=resident,
-                                   mip=mip, **kw_static)
-        d_rays = pl.pallas_call(
-            kernel,
-            grid=(n_tiles,),
-            in_specs=_common_specs(n_planes, TR) + [
-                pl.BlockSpec((1, TR), lambda t: (0, t),
-                             memory_space=pltpu.VMEM),
-            ] + mip_in + [
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec((_NROWS, TR), lambda t: (0, t),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((_NROWS, n_tiles * TR),
-                                           jnp.float32),
-            scratch_shapes=[
-                _win_scratch(vol, ky, zw, False, resident),
-                pltpu.VMEM((16, TR), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-            interpret=interpret,
-            **_vmem_params(resident, vol),
-        )(starts, rays_tiled, g_tiled, *mip_args, vol)
+        if rows is not None:
+            # Fused path: rows are g-independent (see _fwdgrad_kernel);
+            # the rays cotangent is an elementwise product. The volume
+            # cotangent below still runs its own kernel — XLA removes it
+            # when d_vol is unused (pose-only registration).
+            d_rays = jnp.concatenate(
+                [rows * g_tiled,
+                 jnp.zeros((_NROWS - 9, rows.shape[1]), jnp.float32)],
+                axis=0)
+        else:
+            kernel = functools.partial(_bwd_rays_kernel, resident=resident,
+                                       mip=mip, **kw_static)
+            d_rays = pl.pallas_call(
+                kernel,
+                grid=(n_tiles,),
+                in_specs=_common_specs(n_planes, TR) + [
+                    pl.BlockSpec((1, TR), lambda t: (0, t),
+                                 memory_space=pltpu.VMEM),
+                ] + mip_in + [
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=pl.BlockSpec((_NROWS, TR), lambda t: (0, t),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((_NROWS, n_tiles * TR),
+                                               jnp.float32),
+                scratch_shapes=[
+                    _win_scratch(vol, ky, zw, False, resident),
+                    pltpu.VMEM((16, TR), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+                interpret=interpret,
+                **_vmem_params(resident, vol),
+            )(starts, rays_tiled, g_tiled, *mip_args, vol)
 
         dvol_init = jnp.zeros(vol.shape, jnp.float32)
         kernel = functools.partial(_bwd_vol_kernel, mip=mip, **kw_static)
@@ -619,6 +766,7 @@ def siddon_pallas_raycast(
     guard_pred=None,
     fallback=None,
     tile_subset=None,
+    fused_pose_bwd: bool = True,
 ) -> jnp.ndarray:
     """Exact Siddon render via Pallas slab-march kernels, fwd + analytic bwd.
 
@@ -672,6 +820,7 @@ def siddon_pallas_raycast(
         zw, zc, precision, storage, interpret, use_prepped, resident,
         reducefn,
         **({} if tile_subset is None else {"tile_subset": tile_subset}),
+        **({} if fused_pose_bwd else {"fused": False}),
     )
     prepped = prepped_vol if use_prepped else jnp.zeros((0,), jnp.float32)
 

@@ -425,6 +425,10 @@ def make_reconstruction_step(
     import optax
 
     drr = shard_drr(drr, mesh, ray_axis)
+    # Density-only differentiation: the fused value+gradient forward (which
+    # optimizes POSE backwards) would waste a gradient march here — the ray
+    # cotangents are dead. Use the lean forward kernel.
+    render_kwargs.setdefault("fused_pose_bwd", False)
     tx = optax.adam(lr)
     batch_sharding = NamedSharding(mesh, P(data_axis))
     replicated = NamedSharding(mesh, P())

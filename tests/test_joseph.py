@@ -332,3 +332,96 @@ def test_mip_gradients_in_kernel_match_oracle():
     for a, b in zip(gr, gk):
         err = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
         assert err < 1e-4, err
+
+
+def test_fused_pose_bwd_matches_two_kernel_path(scene):
+    """The fused value+gradient march (round 4) vs the lean fwd + bwd-rays
+    re-march: identical values and gradients (same contractions, same
+    order), for both sum and MIP reductions."""
+    drr, sv, tv, weights, ax = scene
+    for reducefn in ("sum", "max"):
+        def make_loss(fused):
+            def loss(s, t, w):
+                out = joseph_pallas_raycast(
+                    drr.density, s, t, w, image_shape=(32, 32), axis=ax,
+                    tile=16, ky=64, zw=256, interpret=True,
+                    reducefn=reducefn, fused_pose_bwd=fused,
+                )
+                return jnp.sum(jnp.sin(out * 0.1))
+            return loss
+
+        va, ga = jax.value_and_grad(make_loss(True), argnums=(0, 1, 2))(
+            sv, tv, weights)
+        vb, gb = jax.value_and_grad(make_loss(False), argnums=(0, 1, 2))(
+            sv, tv, weights)
+        np.testing.assert_allclose(float(va), float(vb), rtol=1e-6)
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6 * np.abs(b).max() + 1e-12)
+        # The fused forward's value equals the plain (undifferentiated)
+        # forward too.
+        plain = joseph_pallas_raycast(
+            drr.density, sv, tv, weights, image_shape=(32, 32), axis=ax,
+            tile=16, ky=64, zw=256, interpret=True, reducefn=reducefn,
+        )
+        np.testing.assert_allclose(
+            float(jnp.sum(jnp.sin(plain * 0.1))), float(va), rtol=1e-6)
+
+
+def test_prep_rays_slab_interval_matches_oracle():
+    """Round-4 regression: _prep_rays amax took the MAX over axes of the
+    per-axis exit alphas instead of the MIN — rays exiting through a
+    transverse face stayed "in-slab" past their exit and deposited
+    partial-tent weight on boundary voxels (12.5% boundary volume-gradient
+    error on hardware at 256^2). The packed amin/amax rows must equal the
+    XLA oracle's alpha_minmax for arbitrary oblique rays."""
+    from diffdrr_tpu.ops._raygeom import alpha_minmax
+    from diffdrr_tpu.ops.pallas import joseph as J
+
+    rng = np.random.default_rng(3)
+    dims = (40, 48, 32)
+    B, n = 1, 256
+    src = rng.uniform(-60, 100, (B, n, 3)).astype(np.float32)
+    tgt = rng.uniform(-60, 100, (B, n, 3)).astype(np.float32)
+    w = np.linalg.norm(tgt - src, axis=-1)[:, None, :].astype(np.float32)
+
+    amin_o, amax_o = alpha_minmax(jnp.asarray(src), jnp.asarray(tgt), dims,
+                                  0.5, 1e-8)
+    rays = J._prep_rays(jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(w),
+                        (0, 1, 2), dims, 16, 16, 16, 0.5, 1.0, 1e-8)
+    perm, _, _ = J._plan_tiles_cached(16, 16, 16)
+    inv = np.argsort(np.asarray(perm))
+    amin_k = np.asarray(rays)[J._AMIN][inv]
+    amax_k = np.asarray(rays)[J._AMAX][inv]
+    np.testing.assert_allclose(amin_k, np.asarray(amin_o)[0, :, 0], atol=1e-5)
+    np.testing.assert_allclose(amax_k, np.asarray(amax_o)[0, :, 0], atol=1e-5)
+
+
+def test_volume_gradient_parity_with_transverse_exits():
+    """Boundary-voxel volume gradients at a geometry where many rays exit
+    through transverse faces (wide detector, oblique cone) — the
+    integration-level regression for the round-4 amax fix."""
+    subject = load_example_ct(shape=(96, 96, 49))
+    drr = DRR(subject, sdd=1020.0, height=32, delx=12.0, renderer="joseph",
+              precision="highest")
+    rot = jnp.asarray([[0.01, np.pi / 2 + 0.02, -0.01]], jnp.float32)
+    trans = jnp.asarray([[0.0, 850.0, 0.0]], jnp.float32)
+    pose = convert(rot, trans, parameterization="euler_angles",
+                   convention="ZXY")
+    src, tgt = drr.detector(pose, None)
+    sv, tv = drr.affine_inverse(src), drr.affine_inverse(tgt)
+    w = jnp.linalg.norm(tv - sv, axis=-1)[:, None, :]
+
+    def loss_k(dens):
+        out = joseph_pallas_raycast(
+            dens, sv, tv, w, image_shape=(32, 32), axis=2, tile=16, ky=160,
+            zw=256, zc=128, precision="highest", interpret=True)
+        return jnp.mean(out ** 2)
+
+    def loss_o(dens):
+        return jnp.mean(joseph_raycast(dens, sv, tv, w, axis=2) ** 2)
+
+    gk = np.asarray(jax.grad(loss_k)(drr.density))
+    go = np.asarray(jax.grad(loss_o)(drr.density))
+    rel = np.abs(gk - go).max() / (np.abs(go).max() + 1e-12)
+    assert rel < 1e-3, rel

@@ -268,3 +268,30 @@ def test_mip_gradients_in_kernel_match_oracle():
     for a, b in zip(gr, gk):
         err = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
         assert err < 1e-4, err
+
+
+def test_fused_pose_bwd_matches_two_kernel_path(scene):
+    """Fused value+gradient march vs lean fwd + bwd re-march (exact Siddon,
+    round 4): same gradients; values agree to float-reassociation noise
+    (the fused value sums per-segment products in a different order)."""
+    drr, sv, tv, weights, ax = scene
+    vol = drr.density
+
+    def make_loss(fused):
+        def loss(s, t, w):
+            out = siddon_pallas_raycast(
+                vol, s, t, w, image_shape=(32, 32), axis=ax,
+                tile=16, ky=64, zw=256, interpret=True,
+                fused_pose_bwd=fused,
+            )
+            return jnp.sum(jnp.sin(out * 0.1))
+        return loss
+
+    va, ga = jax.value_and_grad(make_loss(True), argnums=(0, 1, 2))(
+        sv, tv, weights)
+    vb, gb = jax.value_and_grad(make_loss(False), argnums=(0, 1, 2))(
+        sv, tv, weights)
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-5)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6 * np.abs(b).max() + 1e-12)

@@ -173,7 +173,7 @@ def run_case(name):
             return jnp.mean(rays) + 1e-9 * jnp.sum(starts)
 
         tm = timed_scan(step, ROT0)
-    elif kind in ("kernel", "bwdrays", "vjprays", "tileg"):
+    elif kind in ("kernel", "bwdrays", "fgrad", "vjprays", "tileg"):
         J, S, vol, rays, starts, kw, prep_args = joseph_bits(drr, renderer)
         (sv, tv, weights, perm3, dims, H, W, tile, h, quad) = prep_args
         TR = kw["TR"]
@@ -257,6 +257,14 @@ def run_case(name):
                     g = g_tiled * (1.0 + eps * 1e-9)
                     out = J._bwd_rays_call(vol, rays, starts, g, None, **kw)
                     return jnp.mean(out)
+
+            tm = timed_scan(step, jnp.float32(0.0))
+        elif kind == "fgrad":
+            # Fused value+gradient march (round 4) in isolation.
+            def step(eps):
+                r = rays.at[J._SC].mul(1.0 + eps * 1e-9)
+                out = J._fwdgrad_call(vol, r, starts, reduce="sum", **kw)
+                return jnp.mean(out)
 
             tm = timed_scan(step, jnp.float32(0.0))
         elif kind == "vjprays":
