@@ -312,9 +312,14 @@ def main(smoke=False):
     # The 512x512x133 bench CT is VMEM-resident as bf16 (~70 MB); a true
     # 512^3 volume (256 MB bf16) must stream per-plane HBM windows — a
     # different perf regime (VERDICT r3 weak #7). Smoke keeps it tiny.
+    # Isotropic spacing: a 512^3 cube at the reference's 2.5 mm slices would
+    # be an absurd 1.28 m tall and put the detector plane INSIDE the volume
+    # (changing exact-Siddon's semantics — the reference integrates the full
+    # line, see ops/pallas/joseph._prep_rays).
     cube = (64, 64, 64) if smoke else (512, 512, 512)
     subject_c = measure("construct_subject_512cube",
-                        lambda: load_example_ct(shape=cube), 300)
+                        lambda: load_example_ct(
+                            shape=cube, spacing=(0.703125,) * 3), 300)
     if subject_c is not None:
         for rname in ("siddon", "joseph"):
             drr_c = measure(f"construct_{rname}_512cube", lambda: DRR(

@@ -470,19 +470,23 @@ def load_example_ct(
     orientation: Optional[str] = "AP",
     bone_attenuation_multiplier: float = 1.0,
     shape=(512, 512, 133),
+    spacing=(0.703125, 0.703125, 2.5),
     **kwargs,
 ) -> Subject:
     """Load the example chest subject (procedural phantom; see _chest_phantom).
 
     API match for the reference ``load_example_ct`` (diffdrr/data.py:19-38):
     returns a Subject with density, labelmap mask, a ``structures`` table, and
-    fiducials. Spacing mirrors the reference scan's scale (sub-mm in-plane,
-    2.5 mm slices).
+    fiducials. Default ``spacing`` mirrors the reference scan's scale
+    (sub-mm in-plane, 2.5 mm slices); pass e.g. an isotropic spacing for
+    high-resolution benchmark volumes (a 512^3 cube at the default would be
+    an anatomically absurd 1.28 m tall — and would put the detector plane
+    INSIDE the volume).
     """
     import pandas as pd
 
     hu, labelmap = _chest_phantom(shape)
-    spacing = np.array([0.703125, 0.703125, 2.5])
+    spacing = np.asarray(spacing, np.float64)
     affine = np.diag([*spacing, 1.0])
     volume = Image(hu, affine)
     mask = Image(labelmap, affine)

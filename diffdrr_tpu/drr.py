@@ -70,16 +70,19 @@ _RENDERERS = {
 }
 
 # Cost-model constants, in MXU-MAC units. Used only for *ranking* tile
-# choices. Fitted on v5e hardware from the round-3 tile sweep
-# (tools/sweep_tile.py -> tools/fit_cost_model.py, 13 configs, 200^2
-# detector, 512x512x133 CT): the VPU window-build term dominates, DMA fits
-# to ~0 because the bench CT is VMEM-resident (no per-plane window DMA).
-# Fit residuals are ~±20%; the ranking it implies (t32 for both renderers,
-# t64 excluded) matches the measured ordering. Non-resident (>96 MiB)
-# volumes stream windows from HBM and may warrant a re-fit.
-_COST_VPU_ELEM = 4560.0
-_COST_DMA_BYTE = 0.0
-_COST_FIXED_STEP = 2.05e9
+# choices. Fitted on v5e hardware from the round-4 two-regime tile sweep
+# (tools/sweep_tile.py both plain and --volume 512 ->
+# tools/fit_cost_model.py; 11 configs, 200^2 detector, 512x512x133
+# VMEM-resident CT + 512^3 isotropic streaming CT). The DMA term is now
+# real: residency zeroes it inside pallas_cost_terms (one bulk DMA), while
+# streaming volumes pay ~3.6k units/byte of per-plane window DMA — the
+# round-3 fit could not see this because its single regime was entirely
+# resident. Fit residuals <=11% except t64-streaming (17%, never selected);
+# the implied ranking (t32 everywhere) matches the measured ordering in
+# BOTH regimes.
+_COST_VPU_ELEM = 1961.2
+_COST_DMA_BYTE = 3614.6
+_COST_FIXED_STEP = 7.261e8
 
 # Sparse-dispatch crossover: one XLA-oracle ray costs ~this many kernel
 # full-frame rays (per renderer). Deliberately conservative (high) until
@@ -89,7 +92,7 @@ _SPARSE_XLA_RAY_COST = {"siddon": 200.0, "joseph": 50.0, "trilinear": 25.0}
 
 
 def pallas_cost_terms(renderer_name, tile, ky, zw, zc, height, width,
-                      storage):
+                      storage, resident=False):
     """Raw per-ray-per-plane cost-model components (MAC units).
 
     Returns (mxu, vpu, dma, fixed, pad): the MXU contraction, tent/one-hot
@@ -98,6 +101,12 @@ def pallas_cost_terms(renderer_name, tile, ky, zw, zc, height, width,
     ``_COST_*`` constants; ``tools/fit_cost_model.py`` fits those constants
     against sweep measurements through THIS function, so the two can never
     desynchronize.
+
+    ``resident``: the volume fits VMEM — kernels do ONE bulk DMA at grid
+    step 0 and per-plane reads are VMEM slices, so the per-plane window-DMA
+    term vanishes (round 4; previously the term was charged in both
+    regimes, which forced the fit to zero it out to explain the resident
+    sweep and left the planner blind to streaming DMA).
     """
     TR = tile * tile
     bytes_el = 2 if storage == "bf16" else 4
@@ -107,7 +116,7 @@ def pallas_cost_terms(renderer_name, tile, ky, zw, zc, height, width,
     pad = pad / float(max(1, height * width))
     mxu = n_mm * ky * zc * max(1.0, 128.0 / TR)
     vpu = vpu_c * (ky + zc) + 2.0 * ky * zw / TR
-    dma = ky * zw * bytes_el / TR
+    dma = 0.0 if resident else ky * zw * bytes_el / TR
     fixed = 1.0 / TR
     return mxu, vpu, dma, fixed, pad
 
@@ -273,10 +282,17 @@ class DRR:
                 if ky > 256:
                     continue
                 # Per-ray-per-plane cost model; components shared with the
-                # fit tool via pallas_cost_terms.
+                # fit tool via pallas_cost_terms. Residency decided exactly
+                # like the dispatch will (_resolve_resident's byte test).
+                from .ops.pallas.joseph import (_RESIDENT_BUDGET,
+                                                _resident_bytes)
+
+                itm = 2 if self.pallas_storage == "bf16" else 4
+                res = _resident_bytes(dims, axis, ky, zw, False,
+                                      itm) <= _RESIDENT_BUDGET
                 mxu, vpu, dma, fixed, pad = pallas_cost_terms(
                     self.renderer_name, tile, ky, zw, zc, hpx, wpx,
-                    self.pallas_storage)
+                    self.pallas_storage, resident=res)
                 cost = (mxu + _COST_VPU_ELEM * vpu + _COST_DMA_BYTE * dma
                         + _COST_FIXED_STEP * fixed) * pad
                 if best is None or cost < best[0]:

@@ -992,7 +992,6 @@ def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
     max_plane = dims_arr + 1.0 - voxel_shift
     a0 = (min_plane - s_un) / d
     a1 = (max_plane - s_un) / d
-    amin = jnp.clip(jnp.max(jnp.minimum(a0, a1), axis=-1), 0.0, None)
     # min over axes of the per-axis maxima (the LAST exit wins would be
     # wrong: the ray leaves the volume at the FIRST exit). Round-4 fix: this
     # was jnp.max, so rays exiting through a transverse face kept "in-slab"
@@ -1002,7 +1001,21 @@ def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
     # on boundary-voxel volume gradients (caught by
     # tests/test_tpu_hardware.py::test_volume_gradient_parity_on_hardware
     # at 256^2; tests/test_joseph.py has the CPU regression).
-    amax = jnp.minimum(jnp.min(jnp.maximum(a0, a1), axis=-1), 1.0)
+    amin_raw = jnp.max(jnp.minimum(a0, a1), axis=-1)
+    amax_raw = jnp.min(jnp.maximum(a0, a1), axis=-1)
+    if quadrature == "joseph":
+        amin = jnp.clip(amin_raw, 0.0, None)
+        amax = jnp.minimum(amax_raw, 1.0)
+    else:
+        # Exact Siddon: the reference's sort-based integral covers the FULL
+        # line's crossing of the volume — it never restricts to the
+        # [source, target] parametric segment (renderers.py:94-113 sorts
+        # every plane crossing; _get_alpha_minmax's [0, 1] clamp is only
+        # used by Trilinear / the filter flag). A [0, 1] clip here silently
+        # truncated rays whose DETECTOR sits inside a tall volume (second
+        # round-4 hardware find, 30% undercount on central rays at
+        # 96x96x320; tests/test_pallas_siddon.py has the regression).
+        amin, amax = amin_raw, amax_raw
 
     rays = jnp.zeros((_NROWS, B * N), jnp.float32)
     rays = rays.at[_A].set(inv_dx)

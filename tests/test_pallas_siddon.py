@@ -295,3 +295,32 @@ def test_fused_pose_bwd_matches_two_kernel_path(scene):
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6 * np.abs(b).max() + 1e-12)
+
+
+def test_detector_inside_volume_full_line_semantics():
+    """Round-4 regression: the reference's sort-based Siddon integrates the
+    FULL line's crossing of the volume — it never clips to the
+    [source, target] parametric segment (renderers.py:94-113). The kernel's
+    [0, 1] clamp on the slab interval truncated rays whose detector sits
+    inside a tall volume (30% undercount on central rays at 96x96x320 on
+    hardware). Kernel must match the oracle, which matches torch."""
+    subject = load_example_ct(shape=(64, 64, 200))
+    drr = DRR(subject, sdd=1020.0, height=32, delx=8.0, renderer="siddon")
+    rot = jnp.asarray([[0.01, np.pi / 2 + 0.02, -0.01]], jnp.float32)
+    trans = jnp.asarray([[0.0, 850.0, 0.0]], jnp.float32)
+    pose = convert(rot, trans, parameterization="euler_angles",
+                   convention="ZXY")
+    src, tgt = drr.detector(pose, None)
+    sv, tv = drr.affine_inverse(src), drr.affine_inverse(tgt)
+    w = jnp.linalg.norm(tv - sv, axis=-1)[:, None, :]
+    # The tall volume (200 * 2.5 mm = 500 mm along the march axis) extends
+    # past the detector plane: rays END inside the volume.
+    tile, ky, zw, zc = drr.pallas_cfg[2]
+    k = siddon_pallas_raycast(drr.density, sv, tv, w, image_shape=(32, 32),
+                              axis=2, tile=tile, ky=ky, zw=zw, zc=zc,
+                              interpret=True)
+    from diffdrr_tpu.ops.siddon import siddon_raycast
+
+    o = siddon_raycast(drr.density, sv, tv, w)
+    np.testing.assert_allclose(np.asarray(k), np.asarray(o),
+                               atol=2e-4 * float(jnp.abs(o).max()))

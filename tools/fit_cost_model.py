@@ -40,11 +40,17 @@ def model_terms(drr, axis=MARCH_AXIS):
     the planner uses — so fitted constants always refer to the live model.
     """
     from diffdrr_tpu.drr import pallas_cost_terms
+    from diffdrr_tpu.ops.pallas.joseph import (_RESIDENT_BUDGET,
+                                               _resident_bytes)
 
     tile, ky, zw, zc = drr.pallas_cfg[axis]
+    itm = 2 if drr.pallas_storage == "bf16" else 4
+    res = _resident_bytes(drr.density.shape, axis, ky, zw, False,
+                          itm) <= _RESIDENT_BUDGET
     mxu, vpu, dma, fixed, pad = pallas_cost_terms(
         drr.renderer_name, tile, ky, zw, zc,
-        drr.detector.height, drr.detector.width, drr.pallas_storage)
+        drr.detector.height, drr.detector.width, drr.pallas_storage,
+        resident=res)
     return np.array([mxu, vpu, dma, fixed]), pad, (tile, ky, zw, zc)
 
 
@@ -99,7 +105,9 @@ def main(argv):
 
     def subject_for(z):
         if z not in subjects:
-            subjects[z] = load_example_ct(shape=(512, 512, z))
+            subjects[z] = load_example_ct(
+                shape=(512, 512, z),
+                **({"spacing": (0.703125,) * 3} if z == 512 else {}))
         return subjects[z]
 
     rows, times, names, cfgs = [], [], [], {}

@@ -23,7 +23,11 @@ enable_compilation_cache()
 
 VOLSIZE = 512 if "--volume" in sys.argv and \
     sys.argv[sys.argv.index("--volume") + 1] == "512" else 133
-subject = load_example_ct(shape=(512, 512, VOLSIZE))
+# Isotropic spacing for the 512^3 cube (see bench.py: the reference 2.5 mm
+# slices would put the detector inside a 1.28 m volume).
+subject = load_example_ct(shape=(512, 512, VOLSIZE),
+                          **({"spacing": (0.703125,) * 3}
+                             if VOLSIZE == 512 else {}))
 trans = jnp.asarray([[0.0, 850.0, 0.0]], jnp.float32)
 rot0 = jnp.asarray([[0.01, np.pi / 2 + 0.02, -0.01]], jnp.float32)
 
