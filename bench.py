@@ -259,6 +259,26 @@ def main(smoke=False):
             extra["joseph_fwd_posebwd_200"] = {
                 "ms": round(t * 1e3, 3), "rays_per_s": round(n200 / t, 1)}
 
+    # Sparse rendering (reference detector.py:134-137, its main registration
+    # speed trick). Round-4 sweep: uniform sampling occupies nearly every
+    # detector tile, so the kernel renders (near-)full frames + gathers —
+    # and still beats per-ray XLA 10x at p=0.1 (tools/sweep_sparse.py).
+    drr_sp = measure("construct_joseph_sparse", lambda: DRR(
+        subject, sdd=1020.0, height=h_200, delx=delx_200,
+        renderer="joseph", p_subsample=0.1), 300)
+    if drr_sp is not None:
+        t = measure("joseph_sparse_p10_200",
+                    lambda: _per_iter(render_scanner(drr_sp, axis=2), rot0,
+                                      **IT))
+        if t is not None:
+            n_sub = len(drr_sp.detector.subsamples[-1])
+            extra["joseph_sparse_p10_200"] = {
+                "ms": round(t * 1e3, 3),
+                "rays_per_s": round(n_sub / t, 1),
+                "note": "p_subsample=0.1 (4000 sampled rays), auto strategy",
+            }
+        del drr_sp
+
     drr_t = measure("construct_trilinear", lambda: DRR(
         subject, sdd=1020.0, height=h_200, delx=delx_200,
         renderer="trilinear"), 300)

@@ -85,10 +85,17 @@ _COST_DMA_BYTE = 3614.6
 _COST_FIXED_STEP = 7.261e8
 
 # Sparse-dispatch crossover: one XLA-oracle ray costs ~this many kernel
-# full-frame rays (per renderer). Deliberately conservative (high) until
-# fitted on hardware — overestimating the oracle keeps renders on the
-# kernel path, which is never a regression vs the old full-frame+gather.
-_SPARSE_XLA_RAY_COST = {"siddon": 200.0, "joseph": 50.0, "trilinear": 25.0}
+# full-frame rays (per renderer). Joseph FITTED on v5e (round-4 sparse
+# sweep, tools/sweep_sparse.py: oracle 14.2 us/ray from the {400, 4k, 10k}
+# ray cells vs kernel 0.115 us/ray at 200^2): the oracle only wins below
+# ~400 rays at 200^2 — uniform p_subsample occupies nearly every tile, so
+# the kernel path renders (near-)full frames and still beats per-ray XLA
+# 10-30x at p in [0.1, 0.25] (measured: xla 49.6/142.5 ms vs kernel
+# 4.5/4.6 ms at p=0.1/0.25). Siddon/trilinear keep deliberately HIGH
+# (conservative) values — their oracles are costlier (sort / 500-sample
+# gathers), and overestimating the oracle keeps renders on the kernel
+# path, which measurement says is the right default.
+_SPARSE_XLA_RAY_COST = {"siddon": 250.0, "joseph": 124.0, "trilinear": 120.0}
 
 
 def pallas_cost_terms(renderer_name, tile, ky, zw, zc, height, width,

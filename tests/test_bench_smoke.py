@@ -23,6 +23,7 @@ EXPECTED_METRICS = {
     "siddon_fwd_1000",
     "siddon_fwd_200_512cube",
     "joseph_fwd_200_512cube",
+    "joseph_sparse_p10_200",
     "registration_iters_per_s_200",
     "scaling",
 }
