@@ -65,5 +65,6 @@ def test_api_docs_generator_covers_public_surface():
                 "def convert", "def siddon_raycast", "def trilinear_raycast",
                 "def joseph_pallas_raycast", "def slab_sharded_siddon",
                 "class CheckpointManager", "def drr_to_mesh",
-                "class Registration", "def optimize_multistart"]:
+                "class Registration", "def optimize_multistart",
+                "def decimate", "def visualize_scene_html"]:
         assert sym in text, f"missing from API docs: {sym}"

@@ -220,6 +220,15 @@ def main() -> None:
 
     speedup = t1 / tN
     eff = speedup / n_dev
+    if eff > 1.0:
+        # Pinned CPU-mesh runs can come out super-linear: the 1-core
+        # baseline pays the whole (multi-threaded) XLA runtime/dispatch
+        # overhead on one core, while the sharded run spreads it. Report
+        # the capped value as THE efficiency (the excess is a baseline
+        # artifact, not real scaling) and keep the raw number alongside.
+        methodology += (f"; raw efficiency {eff:.3f} > 1 (1-core baseline "
+                        "is runtime-overhead-bound) — capped to 1.0")
+        eff = 1.0
     # Analytic collective volume: image all-gather at assembly.
     allgather_bytes = int(args.batch * args.height * args.height * 4
                           * (n_dev - 1) / max(n_dev, 1))

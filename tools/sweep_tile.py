@@ -87,6 +87,12 @@ CONFIGS = {
                             pallas_fp_scale=0.8),
     "joseph_t16_fp06": dict(renderer="joseph", pallas_tile=16,
                             pallas_fp_scale=0.6),
+    "joseph_t32_fp06": dict(renderer="joseph", pallas_tile=32,
+                            pallas_fp_scale=0.6),
+    "joseph_t32_fp055": dict(renderer="joseph", pallas_tile=32,
+                             pallas_fp_scale=0.55),
+    "siddon_t32_fp055": dict(renderer="siddon", pallas_tile=32,
+                             pallas_fp_scale=0.55),
     "siddon_t16_fp06": dict(renderer="siddon", pallas_tile=16,
                             pallas_fp_scale=0.6),
     "siddon_t32_fp06": dict(renderer="siddon", pallas_tile=32,
