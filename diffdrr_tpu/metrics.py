@@ -63,18 +63,23 @@ def _normalize_local(x: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def _box_sum(x: jnp.ndarray, p: int) -> jnp.ndarray:
-    """Per-channel VALID p x p box sum via two separable 1-D convolutions."""
-    B, C, H, W = x.shape
-    kh = jnp.ones((C, 1, p, 1), x.dtype)
-    kw = jnp.ones((C, 1, 1, p), x.dtype)
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
-                                        ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
-                                     dimension_numbers=dn,
-                                     feature_group_count=C)
-    return jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
-                                        dimension_numbers=dn,
-                                        feature_group_count=C)
+    """Per-channel VALID p x p box sum via separable cumulative sums.
+
+    NOT a convolution on purpose: on TPU, f32 convs run bf16-compute on the
+    MXU by default, and the downstream ``E[x^2] - mu^2`` cancellation turns
+    that 8-bit mantissa into catastrophe — flat patches got variances off
+    by ~1e-2, the eps floor made |ncc| explode to O(1e3), and full-scale
+    TPU registration silently diverged (round-4 find; the CPU tests never
+    saw it because CPU convs are true f32). Cumsum runs on the VPU in f32
+    unconditionally, so the statistics stay accurate WITHOUT paying the
+    3x "highest"-precision conv tax.
+    """
+    cs = jnp.cumsum(x, axis=2)
+    x = cs[:, :, p - 1:, :] - jnp.pad(cs, ((0, 0), (0, 0), (1, 0), (0, 0))
+                                      )[:, :, :-p, :]
+    cs = jnp.cumsum(x, axis=3)
+    return cs[:, :, :, p - 1:] - jnp.pad(cs, ((0, 0), (0, 0), (0, 0), (1, 0))
+                                         )[:, :, :, :-p]
 
 
 def ncc2d(
@@ -109,9 +114,25 @@ def ncc2d(
         s12 = _box_sum(x1 * x2, p) / n
         cov = s12 - s1 * s2
         # max(., 0): E[x^2]-mu^2 cancellation can dip a hair negative in f32.
-        var1 = jnp.maximum(s11 - s1 * s1, 0.0) + eps
-        var2 = jnp.maximum(s22 - s2 * s2, 0.0) + eps
-        ncc = cov / jnp.sqrt(var1 * var2)
+        var1 = jnp.maximum(s11 - s1 * s1, 0.0)
+        var2 = jnp.maximum(s22 - s2 * s2, 0.0)
+        # Gate BOTH-(near-)constant patches out of value and gradient. With
+        # the bare eps floor, a flat-vs-flat patch's cov is pure f32
+        # rounding noise amplified by 1/eps = 1e5 — worse, its GRADIENT is
+        # noise times 1e5, platform-dependent (round-4 find: the phantom's
+        # exactly-flat air regions made analytic pose gradients disagree
+        # with finite differences BY SIGN on both CPU and TPU, and
+        # full-scale TPU registration silently diverged; the reference has
+        # the same pathology but its real CT has no exactly-flat patches).
+        # A flat-flat patch's correct contribution is the limit value 0.
+        # One-sided-flat patches STAY active: their cov gradient
+        # ((x_other - mu_other)/denom) is real signal — it is what pulls a
+        # silhouette into a structured target region (gating on either
+        # side alone was measured to hide exactly that term from the
+        # analytic gradient).
+        valid = (var1 > eps) | (var2 > eps)
+        denom = jnp.sqrt((var1 + eps) * (var2 + eps))
+        ncc = jnp.where(valid, cov, 0.0) / denom
         return jnp.mean(ncc, axis=(1, 2, 3))
     assert x1.shape == x2.shape, "Input images must be the same size"
     _, c, h, w = x1.shape

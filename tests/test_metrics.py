@@ -195,3 +195,77 @@ def test_to_patches_matches_torch_unfold():
     b, c, p1, p2, h, w = x.shape
     expect = x.reshape(b, c * p1 * p2, h, w).numpy()
     np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_patch_ncc_gradient_bounded_with_flat_regions():
+    """Round-4 regression: patchwise NCC over images with exactly-flat
+    regions (the phantom's air background). The eps-floored denominator
+    amplified f32 rounding noise in flat-vs-flat patches by 1/eps = 1e5 —
+    values stayed plausibly bounded but GRADIENTS were platform-dependent
+    garbage and full-scale TPU registration silently diverged. Flat-flat
+    patches must contribute 0 with 0 gradient; the total gradient must
+    match finite differences."""
+    import jax
+
+    from diffdrr_tpu.metrics import ncc2d
+
+    rng = np.random.default_rng(5)
+    x = np.zeros((1, 1, 64, 64), np.float32)
+    y = np.zeros((1, 1, 64, 64), np.float32)
+    # Structured center, exactly-flat border (like a DRR against air).
+    x[:, :, 20:44, 20:44] = rng.random((24, 24), np.float32)
+    y[:, :, 20:44, 20:44] = x[:, :, 20:44, 20:44] + 0.05 * rng.random(
+        (24, 24), np.float32)
+
+    def loss(a):
+        return jnp.mean(ncc2d(a, jnp.asarray(y), 13))
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(x)))
+    assert np.isfinite(g).all()
+    # Bounded: no eps-amplified noise spikes.
+    assert np.abs(g).max() < 10.0, np.abs(g).max()
+    # Gradient vanishes in the deep flat-flat region (no signal there;
+    # tiny float residue via the gated denominator chain is fine).
+    assert np.abs(g[:, :, :6, :]).max() < 1e-8
+
+    # Directional finite-difference check through the full metric.
+    d = rng.normal(size=x.shape).astype(np.float32)
+    d /= np.linalg.norm(d)
+    h = 1e-3
+    fd = (float(loss(jnp.asarray(x + h * d)))
+          - float(loss(jnp.asarray(x - h * d)))) / (2 * h)
+    an = float(np.sum(g * d))
+    assert abs(fd - an) < 0.05 * (abs(fd) + abs(an) + 1e-3), (fd, an)
+
+
+def test_patch_ncc_matches_unfold_formulation_gradients():
+    """The box-filter sufficient-statistics path must agree with the
+    direct unfold-normalize-correlate formulation in value AND gradient on
+    generic (non-flat) images."""
+    import jax
+
+    from diffdrr_tpu.metrics import ncc2d, to_patches
+
+    def ncc_unfold(x1, x2, p, eps=1e-5):
+        a = to_patches(x1, p)
+        b = to_patches(x2, p)
+
+        def norm(x):
+            mu = jnp.mean(x, axis=(-1, -2), keepdims=True)
+            var = jnp.var(x, axis=(-1, -2), keepdims=True) + eps
+            return (x - mu) / jnp.sqrt(var)
+
+        a, b = norm(a), norm(b)
+        _, c, h, w = a.shape
+        return jnp.einsum("b...,b...->b", a, b) / (c * h * w)
+
+    rng = np.random.default_rng(11)
+    x = rng.random((1, 1, 40, 40)).astype(np.float32)
+    y = rng.random((1, 1, 40, 40)).astype(np.float32)
+
+    va, ga = jax.value_and_grad(
+        lambda a: jnp.mean(ncc2d(a, jnp.asarray(y), 9)))(jnp.asarray(x))
+    vb, gb = jax.value_and_grad(
+        lambda a: jnp.mean(ncc_unfold(a, jnp.asarray(y), 9)))(jnp.asarray(x))
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=2e-4)
