@@ -204,3 +204,42 @@ def test_planner_never_emits_rollable_non_pow2_zw(subject):
                 tile, ky, zw, zc = cfg
                 lanes = zw // 128
                 assert zc == zw or (lanes & (lanes - 1)) == 0, cfg
+
+
+def test_registration_loss_gradients_sane_on_hardware(subject):
+    """Round-4 lesson: value parity is not enough — the multiscale-NCC
+    registration loss must have BOUNDED values and CPU-consistent pose
+    gradients on the real chip (the bf16-conv NCC bug produced scores of
+    -2053 and diverging translations while every value-parity suite was
+    green)."""
+    from diffdrr_tpu.metrics import MultiscaleNormalizedCrossCorrelation2d
+
+    rot, trans = _inputs()
+    drr = DRR(subject, sdd=1020.0, height=64, delx=6.0, renderer="joseph")
+    metric = MultiscaleNormalizedCrossCorrelation2d([None, 13], [0.5, 0.5])
+    target = drr(rot, trans, parameterization="euler_angles",
+                 convention="ZXY", axis=2)
+
+    def loss(r, t):
+        img = drr(r, t, parameterization="euler_angles", convention="ZXY",
+                  axis=2)
+        return jnp.mean(metric(img, target))
+
+    rot0 = rot + jnp.asarray([[0.02, -0.015, 0.01]], jnp.float32)
+    trans0 = trans + jnp.asarray([[8.0, -12.0, 5.0]], jnp.float32)
+    v, (gr, gt) = jax.jit(
+        lambda r, t: jax.value_and_grad(loss, argnums=(0, 1))(r, t)
+    )(rot0, trans0)
+    v = float(v)
+    assert -1.001 <= v <= 1.001, v
+    assert bool(jnp.isfinite(gr).all()) and bool(jnp.isfinite(gt).all())
+
+    # CPU truth for the same loss (subprocess would be cleaner, but the
+    # platform is process-wide here; compare against stored CPU values
+    # computed by the same code path under tests/conftest on CPU runs is
+    # not possible — so bound the magnitudes instead and check the descent
+    # direction actually reduces the loss).
+    step_r = 1e-3 * gr / (jnp.linalg.norm(gr) + 1e-12)
+    step_t = 0.5 * gt / (jnp.linalg.norm(gt) + 1e-12)
+    v2 = float(loss(rot0 + step_r, trans0 + step_t))
+    assert v2 > v, (v, v2)  # ascending the NCC gradient improves similarity
