@@ -145,6 +145,27 @@ def run_case(name):
             return val + 1e-3 * jnp.mean(g)
 
         tm = timed_scan(vg, ROT0)
+    elif kind == "corebwd":
+        # value_and_grad of the render CORE only (voxel-space rays held as
+        # the differentiated inputs): fwdbwd minus the pose/detector chain.
+        sv, tv, weights = ray_inputs(drr)
+
+        def core(s, t):
+            img = drr.render(drr.density, s, t, axis=AXIS)
+            return jnp.mean(img)
+
+        # render takes WORLD source/target: pass the world-space rays.
+        pose = convert(ROT0, TRANS, parameterization="euler_angles",
+                       convention="ZXY")
+        src, tgt = drr.detector(pose, None)
+
+        def step(eps):
+            s = src * (1.0 + eps * 1e-9)
+            t = tgt * (1.0 + eps * 1e-9)
+            val, (gs, gt_) = jax.value_and_grad(core, argnums=(0, 1))(s, t)
+            return val + 1e-9 * (jnp.mean(gs) + jnp.mean(gt_))
+
+        tm = timed_scan(step, jnp.float32(0.0))
     elif kind == "prep":
         from diffdrr_tpu.ops.pallas import joseph as J
 
