@@ -12,6 +12,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import click
 import numpy as np
+
+import jax
 import pandas as pd
 
 from diffdrr_tpu import DRR, load_example_ct
@@ -26,7 +28,6 @@ from diffdrr_tpu.viz import animate
 @click.option("--volume-size", default=256)
 def main(cpu, csv_path, out_path, height, volume_size):
     if cpu:
-        import jax
         jax.config.update("jax_platforms", "cpu")
     df = pd.read_csv(csv_path)
     required = {"r1", "r2", "r3", "tx", "ty", "tz"}

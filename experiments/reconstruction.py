@@ -43,7 +43,11 @@ from diffdrr_tpu import DRR, load_example_ct
 def main(cpu, n_views, n_iters, height, volume_size, lr, mesh, renderer,
          ckpt_dir, ckpt_every):
     if cpu:
-        import jax
+        # NOTE: no local `import jax` here — that would shadow the module-
+        # level import for the whole function and break the accelerator
+        # branch with UnboundLocalError (round-4 find: the TPU path of this
+        # CLI had been dead since the round-3 cache change; the suite only
+        # exercises --cpu).
         jax.config.update("jax_platforms", "cpu")
     else:
         from diffdrr_tpu.profiling import enable_compilation_cache

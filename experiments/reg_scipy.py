@@ -16,6 +16,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import click
 import numpy as np
+
+import jax
 import scipy.optimize
 
 import jax.numpy as jnp
@@ -35,7 +37,6 @@ from diffdrr_tpu.metrics import DoubleGeodesicSE3, NormalizedCrossCorrelation2d
 @click.option("--seed", default=0)
 def main(cpu, n_runs, height, volume_size, method, maxiter, seed):
     if cpu:
-        import jax
         jax.config.update("jax_platforms", "cpu")
     subject = load_example_ct(
         shape=(volume_size, volume_size, max(16, volume_size // 4))

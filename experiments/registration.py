@@ -55,7 +55,6 @@ def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
          dampening, lr_rotation, lr_translation, renderer, outdir, seed,
          multistart):
     if cpu:
-        import jax
         jax.config.update("jax_platforms", "cpu")
     else:
         from diffdrr_tpu.profiling import enable_compilation_cache

@@ -10,6 +10,8 @@ Cases (all at the bench geometry, 512x512x133 CT, 200^2 detector):
   prep_<r>        XLA prep only: _prep_rays + _compute_starts + tiling
   kernel_<r>      pallas fwd kernel only (prepped inputs held static)
   fwdbwd_<r>      value_and_grad w.r.t. rotation (pose-only backward)
+  corebwd_<r>     value_and_grad of render() w.r.t. world rays (no pose chain)
+  fgrad_<r>       fused value+gradient march kernel only (round 4)
   bwdrays_<r>     pallas bwd-rays kernel only
   vjprays_<r>     the XLA pullback through _prep_rays only
   tileg_<r>       cotangent tile permute (tile_g) only
