@@ -203,8 +203,16 @@ def gaussian_blur(img: jnp.ndarray, kernel_size: int, sigma: float) -> jnp.ndarr
     kh = k.reshape(1, 1, -1, 1)
     kw = k.reshape(1, 1, 1, -1)
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID", dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID", dimension_numbers=dn)
+    # precision=HIGHEST: these 1-D taps contract over <= ~13 elements, so
+    # true-f32 costs nothing — while the TPU default's bf16 products leave
+    # O(4e-3) noise in flat regions, which downstream variance gates
+    # (ncc2d) would mistake for structure.
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
+                                     dimension_numbers=dn,
+                                     precision=jax.lax.Precision.HIGHEST)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
+                                     dimension_numbers=dn,
+                                     precision=jax.lax.Precision.HIGHEST)
     return x
 
 
@@ -226,8 +234,11 @@ def sobel(img: jnp.ndarray, sigma: float = 1.0) -> jnp.ndarray:
         x = gaussian_blur(img, kernel_size, sigma)
     kernel = jnp.stack([_SOBEL_GX, _SOBEL_GY])[:, None].astype(x.dtype)  # (2,1,3,3)
     dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NCHW", "OIHW", "NCHW"))
+    # precision=HIGHEST: 3x3 taps — free in f32, and exact zeros on flat
+    # regions (the TPU bf16 default leaves noise the NCC gate would pass).
     return jax.lax.conv_general_dilated(
-        x, kernel, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn
+        x, kernel, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
