@@ -243,3 +243,20 @@ def test_registration_loss_gradients_sane_on_hardware(subject):
     step_t = 0.5 * gt / (jnp.linalg.norm(gt) + 1e-12)
     v2 = float(loss(rot0 + step_r, trans0 + step_t))
     assert v2 > v, (v, v2)  # ascending the NCC gradient improves similarity
+
+
+@pytest.mark.parametrize("renderer", ["siddon", "joseph"])
+def test_streaming_window_parity_on_hardware(subject, renderer):
+    """Force the non-VMEM-resident path (per-plane HBM window DMAs) on a
+    volume that would normally be resident. Round-4 motivation: the
+    512^3 streaming regime was the first hardware exercise of this path
+    and surfaced two latent correctness bugs — it must stay covered
+    without needing a 512^3 volume in the test."""
+    rot, trans = _inputs()
+    drr = DRR(subject, sdd=1020.0, height=64, delx=6.0, renderer=renderer)
+    img = drr(rot, trans, parameterization="euler_angles", convention="ZXY",
+              axis=2, resident=False)
+    ora = drr(rot, trans, parameterization="euler_angles", convention="ZXY",
+              axis=2, force_xla=True)
+    rel = float(jnp.abs(img - ora).max() / jnp.abs(ora).max())
+    assert rel < 5e-3, rel
