@@ -260,3 +260,27 @@ def test_streaming_window_parity_on_hardware(subject, renderer):
               axis=2, force_xla=True)
     rel = float(jnp.abs(img - ora).max() / jnp.abs(ora).max())
     assert rel < 5e-3, rel
+
+
+def test_sparse_render_matches_dense_gather_on_hardware(subject):
+    """p_subsample rendering (any strategy) must equal the dense render
+    gathered at the sampled pixels — on the real chip, where the round-4
+    sparse sweep ran its strategy timings."""
+    rot, trans = _inputs()
+    drr_d = DRR(subject, sdd=1020.0, height=64, delx=6.0, renderer="joseph")
+    drr_s = DRR(subject, sdd=1020.0, height=64, delx=6.0, renderer="joseph",
+                p_subsample=0.1)
+    dense = drr_d(rot, trans, parameterization="euler_angles",
+                  convention="ZXY", axis=2)
+    sparse = drr_s(rot, trans, parameterization="euler_angles",
+                   convention="ZXY", axis=2)
+    # Reference semantics (drr.py:142-147): sparse output is the FULL
+    # image with sampled rays scattered in and zeros elsewhere.
+    idx = np.asarray(drr_s.detector.subsamples[-1])
+    got = np.asarray(sparse)[0, 0].ravel()
+    want = np.asarray(dense)[0, 0].ravel()
+    np.testing.assert_allclose(got[idx], want[idx],
+                               atol=5e-3 * np.abs(want).max())
+    mask = np.ones(got.shape, bool)
+    mask[idx] = False
+    assert np.abs(got[mask]).max() == 0.0
