@@ -438,7 +438,6 @@ def main(smoke=False):
         "unit": "rays/s",
         "vs_baseline": (round(headline_rays / baseline, 3)
                         if headline_rays else 0.0),
-        "extra": extra,
     }
     if sc is not None:
         out["scaling_efficiency"] = sc.get("scaling_efficiency")
@@ -447,7 +446,19 @@ def main(smoke=False):
     if errors:
         out["errors"] = errors
     done.set()
-    print(json.dumps(out))
+    # Full per-metric detail goes to a file: the round-4 one-line JSON with
+    # the inline ``extra`` map outgrew the driver's tail capture and came
+    # back `parsed: null`. Keep the final stdout line compact so the driver
+    # always parses it; humans and tests read BENCH_DETAIL.json.
+    detail = dict(out)
+    detail["extra"] = extra
+    try:
+        with open("BENCH_DETAIL.json", "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))  # full record (may exceed tail capture)
+    print(json.dumps(out))  # compact, LAST: the driver parses this line
 
 
 if __name__ == "__main__":

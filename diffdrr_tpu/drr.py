@@ -295,7 +295,18 @@ class DRR:
                                                 _resident_bytes)
 
                 itm = 2 if self.pallas_storage == "bf16" else 4
-                res = _resident_bytes(dims, axis, ky, zw, False,
+                # Blend adds one source plane to the resident footprint;
+                # mirror the dispatch's decision (joseph.py: abs(h -
+                # round(h)) > 1e-9): trilinear marches at a fractional
+                # stride (raymarch.py), joseph at integer default steps,
+                # siddon plane-to-plane.
+                if self.renderer_name == "trilinear":
+                    blend = True
+                else:
+                    h = (self.joseph_steps[axis]
+                         if self.renderer_name == "joseph" else 1)
+                    blend = abs(h - round(h)) > 1e-9
+                res = _resident_bytes(dims, axis, ky, zw, blend,
                                       itm) <= _RESIDENT_BUDGET
                 mxu, vpu, dma, fixed, pad = pallas_cost_terms(
                     self.renderer_name, tile, ky, zw, zc, hpx, wpx,

