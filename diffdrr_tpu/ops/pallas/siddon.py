@@ -68,6 +68,7 @@ from .joseph import (
     _tile_permutes,
     _vmem_params,
     _win_scratch,
+    _win_sems,
     _window_reader,
     _dot,
 )
@@ -611,7 +612,7 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
             scratch_shapes=[
                 _win_scratch(vol, ky, zw, False, resident),
                 pltpu.VMEM((rows, TR), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                _win_sems(),
             ],
             interpret=interpret,
             **_vmem_params(resident, vol),
@@ -653,7 +654,7 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
                 scratch_shapes=[
                     _win_scratch(vol, ky, zw, False, resident),
                     pltpu.VMEM((_NROWS, TR), jnp.float32),
-                    pltpu.SemaphoreType.DMA((2,)),
+                    _win_sems(),
                 ],
                 interpret=interpret,
                 **_vmem_params(resident, vol),
@@ -702,7 +703,7 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
                 scratch_shapes=[
                     _win_scratch(vol, ky, zw, False, resident),
                     pltpu.VMEM((16, TR), jnp.float32),
-                    pltpu.SemaphoreType.DMA((2,)),
+                    _win_sems(),
                 ],
                 interpret=interpret,
                 **_vmem_params(resident, vol),

@@ -425,3 +425,41 @@ def test_volume_gradient_parity_with_transverse_exits():
     go = np.asarray(jax.grad(loss_o)(drr.density))
     rel = np.abs(gk - go).max() / (np.abs(go).max() + 1e-12)
     assert rel < 1e-3, rel
+
+
+def test_streaming_reader_interpret_parity():
+    """Non-resident (streaming window DMA) path in interpret mode, for both
+    integer and fractional strides: pins the multi-slot prefetch reader's
+    slot arithmetic (round-5 deepened the pipeline from 2 to _DMA_SLOTS
+    slots) against the XLA oracle. Interpret mode runs DMAs synchronously —
+    wait-ordering races need the tpu-marked twin
+    (test_tpu_hardware.py::test_streaming_window_parity_on_hardware); this
+    covers the slot/plane indexing itself."""
+    import numpy as np
+
+    from diffdrr_tpu import DRR, load_example_ct, convert
+    from diffdrr_tpu.ops.joseph import joseph_raycast
+    from diffdrr_tpu.ops.pallas.joseph import joseph_pallas_raycast
+
+    subject = load_example_ct(shape=(64, 64, 32))
+    drr = DRR(subject, sdd=800.0, height=32, delx=2.0)
+    rot = jnp.array([[0.013, np.pi / 2 + 0.017, -0.011]], jnp.float32)
+    trans = jnp.array([[3.0, 401.0, -2.0]], jnp.float32)
+    pose = convert(rot, trans, parameterization="euler_angles",
+                   convention="ZXY")
+    source, target = drr.detector(pose, None)
+    weights = jnp.linalg.norm(target - source, axis=-1)[:, None, :]
+    sv, tv = drr.affine_inverse(source), drr.affine_inverse(target)
+
+    for step in (1, 0.71):
+        n_steps = int(-(-drr.density.shape[2] // step)) if step == 1 else 45
+        ref = np.asarray(joseph_raycast(
+            drr.density, sv, tv, weights, axis=2, step=step,
+            n_steps=None if step == 1 else n_steps))
+        kw = {} if step == 1 else {"n_steps": n_steps}
+        got = np.asarray(joseph_pallas_raycast(
+            drr.density, sv, tv, weights, image_shape=(32, 32), axis=2,
+            step=step, tile=16, ky=64, zw=256, interpret=True,
+            resident=False, **kw)).reshape(ref.shape)
+        np.testing.assert_allclose(got, ref, atol=2e-3 * np.abs(ref).max(),
+                                   err_msg=f"step={step}")
