@@ -365,6 +365,14 @@ def _fwd_kernel(
     *refs, h, ky, zw, zc, precision, blend, n_ch=None, resident=False,
     reduce="sum",
 ):
+    pair_ref = None
+    if blend and resident:
+        # Sub-plane (literal trilinear) marching re-reads and re-rolls the
+        # SAME two volume planes for every sample sharing a plane pair
+        # (~1/h consecutive steps at h < 1). Cache the rolled f32 pair and
+        # refresh it only when the pair or the window placement changes —
+        # the per-step work drops to the (KY, ZC) lerp + tents + matmul.
+        refs, pair_ref = refs[:-1], refs[-1]
     if n_ch is None:
         (starts_ref, rays_ref, vol_ref, out_ref,
          win_buf, acc_ref, sems) = refs
@@ -403,8 +411,26 @@ def _fwd_kernel(
         wz = _tent(rz - iota_z)  # (ZC, TR)
         wy = _tent(ry - iota_y)  # (KY, TR)
 
-        win = _blend_win(win_fetch(slot, p), p, h, n_src, blend)
-        win = _roll_window(win, starts_ref[0, p, 2], zc)  # (KY, ZC)
+        if pair_ref is not None:
+            pm = jnp.maximum(p - 1, 0)
+            same = ((p > lo)
+                    & (_plane_index(p, h, n_src, True)
+                       == _plane_index(pm, h, n_src, True))
+                    & (starts_ref[0, p, 0] == starts_ref[0, pm, 0])
+                    & (starts_ref[0, p, 1] == starts_ref[0, pm, 1])
+                    & (starts_ref[0, p, 2] == starts_ref[0, pm, 2]))
+
+            @pl.when(jnp.logical_not(same))
+            def _():
+                raw = win_fetch(slot, p)  # (2, KY, ZW) resident slice
+                pair_ref[...] = _roll_window(
+                    raw.astype(jnp.float32), starts_ref[0, p, 2], zc)
+
+            fx = _blend_fraction(p, h, n_src)
+            win = pair_ref[0] * (1.0 - fx) + pair_ref[1] * fx  # (KY, ZC)
+        else:
+            win = _blend_win(win_fetch(slot, p), p, h, n_src, blend)
+            win = _roll_window(win, starts_ref[0, p, 2], zc)  # (KY, ZC)
 
         t1 = _dot(win, wz, (((1,), (0,)), ((), ())), precision)  # (KY, TR)
         contrib = jnp.sum(t1 * wy, axis=0, keepdims=True) * scale  # (1, TR)
@@ -1313,7 +1339,11 @@ def _fwd_call(vol, rays_tiled, starts, lab, *, n_tiles, TR, n_planes,
         ] + lab_scratch + [
             pltpu.VMEM((rows, TR), jnp.float32),
             _win_sems(),
-        ] + lab_sems,
+        ] + lab_sems + (
+            # Rolled plane-pair cache for sub-plane (literal) marching —
+            # must stay LAST (the kernel pops it off the ref tail).
+            [pltpu.VMEM((2, ky, zc), jnp.float32)]
+            if (blend and resident) else []),
         interpret=interpret,
         **_vmem_params(resident, vol, lab if n_ch is not None else None),
     )(*args)

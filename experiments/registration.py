@@ -120,9 +120,9 @@ def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
                              d_s.detector.height, d_s.detector.width),
                     method="linear"))
 
-        def one_run(rot0, trans0):
+        def one_run(rot0, trans0, echo=False):
             rot_c, trans_c = rot0, trans0
-            for d_s, t_s, n_s in zip(drrs, tgts, its):
+            for d_s, t_s, n_s, sc in zip(drrs, tgts, its, scales):
                 kw = dict(metric=metric, optimizer=optimizer,
                           momentum=momentum, dampening=dampening)
                 if optimizer != "lbfgs" and lr_decay < 1.0:
@@ -133,9 +133,16 @@ def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
                 else:
                     kw["lr_rotation"] = lr_rotation
                     kw["lr_translation"] = lr_translation
-                rot_c, trans_c, _ = optimize(
+                rot_c, trans_c, tr = optimize(
                     d_s, t_s, rot_c, trans_c, "euler_angles", "ZXY",
                     n_iters=n_s, **kw)
+                if echo:
+                    pose_c = convert(rot_c, trans_c,
+                                     parameterization="euler_angles",
+                                     convention="ZXY")
+                    _, _, dg = geo(pose_true, pose_c)
+                    click.echo(f"    scale {sc}: {float(dg[0]):8.3f} mm, "
+                               f"score {tr[0]:.4f} -> {tr[-1]:.4f}")
             return rot_c, trans_c
 
         # Warm-up run compiles every scale (remote Pallas compiles take
@@ -147,7 +154,7 @@ def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
             drot = rng.normal(0, 0.06, (1, 3)).astype(np.float32)
             dtrans = rng.normal(0, 12.0, (1, 3)).astype(np.float32)
             t0 = time.perf_counter()
-            rot_f, trans_f = one_run(rot_true + drot, trans_true + dtrans)
+            rot_f, trans_f = one_run(rot_true + drot, trans_true + dtrans, echo=True)
             elapsed = time.perf_counter() - t0
             pose = convert(rot_f, trans_f, parameterization="euler_angles",
                            convention="ZXY")
