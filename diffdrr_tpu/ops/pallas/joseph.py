@@ -48,6 +48,7 @@ re-runs the (expensive) window-start precompute.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -238,7 +239,9 @@ def _blend_win(w, p, h, n_src_planes, blend):
     return w[0] * (1.0 - fx) + w[1] * fx
 
 
-_DMA_SLOTS = 4  # streaming-window prefetch depth (reader pipelines only)
+# Streaming-window prefetch depth (reader pipelines only; the RMW backward
+# keeps its 2-slot store-wait discipline). Env override for A/B sweeps.
+_DMA_SLOTS = int(os.environ.get("DIFFDRR_TPU_DMA_SLOTS", "4"))
 
 
 def _window_reader(vol_ref, starts_ref, win_buf, sems, h, ky, zw, blend,

@@ -98,7 +98,9 @@ def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
         # round-4 2.6-3.6 mm plateau).
         import optax
 
-        from diffdrr_tpu.registration import optimize, rescaled_drr
+        from functools import partial
+
+        from diffdrr_tpu.registration import rescaled_drr
 
         scales = tuple(float(s) for s in multiscale.split(","))
         if iters_per_scale:
@@ -120,29 +122,53 @@ def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
                              d_s.detector.height, d_s.detector.width),
                     method="linear"))
 
+        # Build each scale's jitted scan runner ONCE — optimize() creates
+        # fresh closures per call, retracing every scale of every run
+        # (~20 s/run of pure retrace at three scales).
+        runners = []
+        for d_s, t_s, n_s in zip(drrs, tgts, its):
+            kw = dict(metric=metric, optimizer=optimizer,
+                      momentum=momentum, dampening=dampening)
+            if optimizer != "lbfgs" and lr_decay < 1.0:
+                kw["lr_rotation"] = optax.exponential_decay(
+                    lr_rotation, n_s, lr_decay)
+                kw["lr_translation"] = optax.exponential_decay(
+                    lr_translation, n_s, lr_decay)
+            else:
+                kw["lr_rotation"] = lr_rotation
+                kw["lr_translation"] = lr_translation
+            init_fn, step_fn = make_registration_step(
+                d_s, t_s, "euler_angles", "ZXY", **kw)
+
+            @partial(jax.jit, static_argnames=("n",))
+            def go(drr_a, tgt_a, rot0, trans0, n, init_fn=init_fn,
+                   raw=step_fn.raw):
+                params, opt_state = init_fn(rot0, trans0)
+
+                def body(carry, _):
+                    params, opt_state = carry
+                    params, opt_state, score = raw(drr_a, tgt_a, params,
+                                                   opt_state)
+                    return (params, opt_state), score
+
+                (params, _), scores = jax.lax.scan(
+                    body, (params, opt_state), None, length=n)
+                return params["rotation"], params["translation"], scores
+
+            runners.append((go, d_s, t_s, n_s))
+
         def one_run(rot0, trans0, echo=False):
             rot_c, trans_c = rot0, trans0
-            for d_s, t_s, n_s, sc in zip(drrs, tgts, its, scales):
-                kw = dict(metric=metric, optimizer=optimizer,
-                          momentum=momentum, dampening=dampening)
-                if optimizer != "lbfgs" and lr_decay < 1.0:
-                    kw["lr_rotation"] = optax.exponential_decay(
-                        lr_rotation, n_s, lr_decay)
-                    kw["lr_translation"] = optax.exponential_decay(
-                        lr_translation, n_s, lr_decay)
-                else:
-                    kw["lr_rotation"] = lr_rotation
-                    kw["lr_translation"] = lr_translation
-                rot_c, trans_c, tr = optimize(
-                    d_s, t_s, rot_c, trans_c, "euler_angles", "ZXY",
-                    n_iters=n_s, **kw)
+            for (go, d_s, t_s, n_s), sc in zip(runners, scales):
+                rot_c, trans_c, scores = go(d_s, t_s, rot_c, trans_c, n_s)
                 if echo:
                     pose_c = convert(rot_c, trans_c,
                                      parameterization="euler_angles",
                                      convention="ZXY")
                     _, _, dg = geo(pose_true, pose_c)
-                    click.echo(f"    scale {sc}: {float(dg[0]):8.3f} mm, "
-                               f"score {tr[0]:.4f} -> {tr[-1]:.4f}")
+                    click.echo(
+                        f"    scale {sc}: {float(dg[0]):8.3f} mm, score "
+                        f"{float(scores[0]):.4f} -> {float(scores[-1]):.4f}")
             return rot_c, trans_c
 
         # Warm-up run compiles every scale (remote Pallas compiles take
