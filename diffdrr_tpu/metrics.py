@@ -87,6 +87,7 @@ def ncc2d(
     x2: jnp.ndarray,
     patch_size: Optional[int] = None,
     eps: float = 1e-5,
+    var_floor: float = 0.0,
 ) -> jnp.ndarray:
     """Normalized cross-correlation, optionally patchwise (metrics.py:21-44).
 
@@ -131,7 +132,24 @@ def ncc2d(
         # side alone was measured to hide exactly that term from the
         # analytic gradient).
         valid = (var1 > eps) | (var2 > eps)
-        denom = jnp.sqrt((var1 + eps) * (var2 + eps))
+        floor = eps
+        if var_floor > 0.0:
+            # Relative variance floor (opt-in; default 0 keeps reference
+            # parity). The absolute eps=1e-5 floor is ~9 orders below the
+            # patch variances of O(100)-intensity DRRs, so near-flat
+            # patches get their cov gradient amplified by 1/sqrt(var) —
+            # at 256^2 on the full CT the air-adjacent faint patches then
+            # dominate the analytic gradient with noise-shaped pull and
+            # full-scale registration DIVERGES (round-5 find; the round-4
+            # flat-flat gate only handles exactly-flat patches). Flooring
+            # each variance at a fraction of the pair's mean patch
+            # variance bounds the amplification while keeping the
+            # silhouette-pull term active; stop_gradient keeps the floor
+            # from adding its own gradient path.
+            scale = jax.lax.stop_gradient(
+                jnp.mean(var1 + var2, axis=(1, 2, 3), keepdims=True))
+            floor = eps + var_floor * scale
+        denom = jnp.sqrt((var1 + floor) * (var2 + floor))
         ncc = jnp.where(valid, cov, 0.0) / denom
         return jnp.mean(ncc, axis=(1, 2, 3))
     assert x1.shape == x2.shape, "Input images must be the same size"
@@ -145,13 +163,15 @@ def ncc2d(
 class NormalizedCrossCorrelation2d:
     """NCC between batches of images (reference: metrics.py:21-44)."""
 
-    def __init__(self, patch_size: Optional[int] = None, eps: float = 1e-5):
+    def __init__(self, patch_size: Optional[int] = None, eps: float = 1e-5,
+                 var_floor: float = 0.0):
         self.patch_size = patch_size
         self.eps = eps
+        self.var_floor = var_floor
 
     @f32_image_metrics
     def __call__(self, x1, x2):
-        return ncc2d(x1, x2, self.patch_size, self.eps)
+        return ncc2d(x1, x2, self.patch_size, self.eps, self.var_floor)
 
     forward = __call__
 
@@ -164,16 +184,18 @@ class MultiscaleNormalizedCrossCorrelation2d:
         patch_sizes: Sequence[Optional[int]] = (None,),
         patch_weights: Sequence[float] = (1.0,),
         eps: float = 1e-5,
+        var_floor: float = 0.0,
     ):
         assert len(patch_sizes) == len(patch_weights), "Each scale must have a weight"
         self.patch_sizes = list(patch_sizes)
         self.patch_weights = list(patch_weights)
         self.eps = eps
+        self.var_floor = var_floor
 
     @f32_image_metrics
     def __call__(self, x1, x2):
         scores = [
-            w * ncc2d(x1, x2, p, self.eps)
+            w * ncc2d(x1, x2, p, self.eps, self.var_floor)
             for w, p in zip(self.patch_weights, self.patch_sizes)
         ]
         return jnp.sum(jnp.stack(scores, axis=0), axis=0)

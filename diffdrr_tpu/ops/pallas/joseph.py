@@ -471,6 +471,112 @@ def _fwd_kernel(
 
 
 # =============================================================================
+# Plane-major streaming forward
+# =============================================================================
+
+
+def _fwd_plane_major_kernel(
+    starts_ref, starts0_ref, rays_ref, plane_ref, out_ref, acc_ref,
+    *, h, ky, zw, zc, precision, n_tiles, TR,
+):
+    """One grid step = one marched PLANE for the whole frame.
+
+    The tile-major streaming kernels issue one window DMA per (tile, plane)
+    — ~25k small transfers per 512^3 frame whose issue latency dominates
+    the streaming overhead even 4 slots deep. Here the grid marches planes
+    and Pallas's block pipeline streams each full volume plane into VMEM
+    exactly once (~500 large DMAs, total traffic = one volume read); every
+    tile's (ky, zc) window is then a VMEM slice. Per-ray accumulators for
+    the whole frame persist in scratch across the sequential grid (0.2-1 MB)
+    and are written out at the last plane. FLOPs are identical to the
+    tile-major kernel — only the memory movement changes.
+    """
+    p = pl.program_id(0)
+
+    @pl.when(p == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (ky, TR), 0).astype(jnp.float32)
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, TR), 0).astype(jnp.float32)
+
+    def tile_body(t, _):
+        aux = starts0_ref[t, 0, 3]
+        lo = aux // 65536
+        hi = jax.lax.rem(aux, 65536)
+
+        @pl.when(jnp.logical_and(p >= lo, p < hi))
+        def _():
+            sl = pl.ds(t * TR, TR)
+            r = {
+                "a": rays_ref[_A:_A + 1, sl],
+                "b": rays_ref[_B:_B + 1, sl],
+                "gy": rays_ref[_GY:_GY + 1, sl],
+                "dy": rays_ref[_DY:_DY + 1, sl],
+                "gz": rays_ref[_GZ:_GZ + 1, sl],
+                "dz": rays_ref[_DZ:_DZ + 1, sl],
+                "sc": rays_ref[_SC:_SC + 1, sl],
+                "amin": rays_ref[_AMIN:_AMIN + 1, sl],
+                "amax": rays_ref[_AMAX:_AMAX + 1, sl],
+            }
+            ys = starts_ref[t, 0, 0]
+            zal = starts_ref[t, 0, 1]
+            zsh = starts_ref[t, 0, 2]
+            k = p.astype(jnp.float32) * h
+            alpha = k * r["a"] + r["b"]
+            inslab = jnp.logical_and(alpha >= r["amin"], alpha <= r["amax"])
+            scale = jnp.where(inslab, r["sc"], 0.0)
+            ry = r["gy"] + alpha * r["dy"] - ys.astype(jnp.float32)
+            rz = (r["gz"] + alpha * r["dz"]
+                  - (zal + zsh).astype(jnp.float32))
+            wz = _tent(rz - iota_z)
+            wy = _tent(ry - iota_y)
+            win = plane_ref[0, pl.ds(pl.multiple_of(ys, 16), ky),
+                            pl.ds(pl.multiple_of(zal, 128), zw)]
+            win = _roll_window(win, zsh, zc)
+            t1 = _dot(win, wz, (((1,), (0,)), ((), ())), precision)
+            contrib = jnp.sum(t1 * wy, axis=0, keepdims=True) * scale
+            acc_ref[:, sl] += contrib
+
+        return ()
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, (), unroll=False)
+
+    @pl.when(p == pl.num_programs(0) - 1)
+    def _():
+        out_ref[...] = acc_ref[...]
+
+
+def _fwd_plane_major_call(vol, rays_tiled, starts, *, n_tiles, TR, n_planes,
+                          h, ky, zw, zc, precision, interpret):
+    hs = int(round(h))
+    Xp, Yp, Zp = vol.shape
+    kernel = functools.partial(
+        _fwd_plane_major_kernel, h=float(h), ky=ky, zw=zw, zc=zc,
+        precision=precision, n_tiles=n_tiles, TR=TR,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_planes,),
+        in_specs=[
+            pl.BlockSpec((n_tiles, 1, 4), lambda p: (0, p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_tiles, 1, 4), lambda p: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_NROWS, n_tiles * TR), lambda p: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Yp, Zp), lambda p: (p * hs, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_tiles * TR), lambda p: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_tiles * TR), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, n_tiles * TR), jnp.float32)],
+        interpret=interpret,
+    )(starts, starts, rays_tiled, vol)
+
+
+# =============================================================================
 # Backward kernels
 # =============================================================================
 
@@ -1601,6 +1707,17 @@ def _make_joseph(dims, image_shape, axis, h, n_steps, voxel_shift, eps, tile,
 
     def _run_fwd(vol, lab, rays_tiled, starts, B):
         n_tiles = rays_tiled.shape[1] // TR
+        if (not resident and not blend and not mip and n_ch is None
+                and abs(h - round(h)) < 1e-9):
+            # Streaming scalar sum-reduce: plane-major marching streams
+            # each volume plane once instead of ~n_tiles small window DMAs
+            # per plane (see _fwd_plane_major_kernel).
+            out = _fwd_plane_major_call(
+                vol, rays_tiled, starts, n_tiles=n_tiles, TR=TR,
+                n_planes=n_steps, h=h, ky=ky, zw=zw, zc=zc,
+                precision=precision, interpret=interpret)
+            untile, _ = _tile_permutes(perm, B, N, TR, n_tiles_img, None)
+            return untile(out), None
         out = _fwd_call(vol, rays_tiled, starts, lab,
                         n_tiles=n_tiles, reduce=reduce, **kw)
         untile, _ = _tile_permutes(perm, B, N, TR, n_tiles_img, n_ch)

@@ -76,7 +76,7 @@ from .joseph import (
 __all__ = ["siddon_pallas_raycast"]
 
 
-def _slab_segments(r, s, starts_ref, seg_gates=None):
+def _slab_segments(r, s, starts_ref, seg_gates=None, window_origin=None):
     """Exact Siddon decomposition of slab ``s`` for every ray in the tile.
 
     Returns (C00, C01, C10, C11, ry0, rz0, aux) where C are segment-length
@@ -138,8 +138,11 @@ def _slab_segments(r, s, starts_ref, seg_gates=None):
         C[0][1] += lw * (1 - iy) * iz
         C[1][1] += lw * iy * iz
 
-    ys = starts_ref[0, s, 0].astype(jnp.float32)
-    zs = (starts_ref[0, s, 1] + starts_ref[0, s, 2]).astype(jnp.float32)
+    if window_origin is None:
+        ys = starts_ref[0, s, 0].astype(jnp.float32)
+        zs = (starts_ref[0, s, 1] + starts_ref[0, s, 2]).astype(jnp.float32)
+    else:  # plane-major: the caller reads its own starts layout
+        ys, zs = window_origin
     aux = dict(
         alo=alo, ahi=ahi, ahi_raw=ahi_raw, a1=a1, a2=a2, ty=ty, tz=tz,
         t1=t1, t2=t2, y0=y0, z0=z0, seg_sel=seg_sel, lens=lens,
@@ -567,6 +570,104 @@ def _bwd_vol_kernel(
 # =============================================================================
 
 
+def _fwd_plane_major_kernel(
+    starts_ref, starts0_ref, rays_ref, plane_ref, out_ref, acc_ref,
+    *, ky, zw, zc, precision, n_tiles, TR,
+):
+    """Plane-major streaming exact-Siddon forward (sum reduce).
+
+    Same rationale as ``..joseph._fwd_plane_major_kernel``: the grid
+    marches slabs and Pallas streams each volume plane into VMEM exactly
+    once; per-(tile, slab) windows become VMEM slices and the per-ray
+    accumulators persist in scratch across the sequential grid.
+    """
+    p = pl.program_id(0)
+
+    @pl.when(p == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    iota_y2 = jax.lax.broadcasted_iota(
+        jnp.int32, (ky, 2 * TR), 0).astype(jnp.float32)
+    iota_z2 = jax.lax.broadcasted_iota(
+        jnp.int32, (zc, 2 * TR), 0).astype(jnp.float32)
+
+    def tile_body(t, _):
+        aux0 = starts0_ref[t, 0, 3]
+        lo = aux0 // 65536
+        hi = jax.lax.rem(aux0, 65536)
+
+        @pl.when(jnp.logical_and(p >= lo, p < hi))
+        def _():
+            from .joseph import (_A, _AMAX, _AMIN, _B, _DY, _DZ, _GY, _GZ,
+                                 _SC)
+
+            sl = pl.ds(t * TR, TR)
+            r = {
+                "a": rays_ref[_A:_A + 1, sl],
+                "b": rays_ref[_B:_B + 1, sl],
+                "gy": rays_ref[_GY:_GY + 1, sl],
+                "dy": rays_ref[_DY:_DY + 1, sl],
+                "gz": rays_ref[_GZ:_GZ + 1, sl],
+                "dz": rays_ref[_DZ:_DZ + 1, sl],
+                "sc": rays_ref[_SC:_SC + 1, sl],
+                "amin": rays_ref[_AMIN:_AMIN + 1, sl],
+                "amax": rays_ref[_AMAX:_AMAX + 1, sl],
+            }
+            ys = starts_ref[t, 0, 0]
+            zal = starts_ref[t, 0, 1]
+            zsh = starts_ref[t, 0, 2]
+            C, ry0, rz0, _ = _slab_segments(
+                r, p, None,
+                window_origin=(ys.astype(jnp.float32),
+                               (zal + zsh).astype(jnp.float32)))
+            wz, ey2, eyr = _paired_onehots(iota_y2, iota_z2, ry0, rz0)
+            win = plane_ref[0, pl.ds(pl.multiple_of(ys, 16), ky),
+                            pl.ds(pl.multiple_of(zal, 128), zw)]
+            win = _roll_window(win, zsh, zc)
+            v00, v01, v10, v11 = _corner_values(win, wz, ey2, eyr, precision)
+            acc_ref[:, sl] += (C[0][0] * v00 + C[1][0] * v10
+                               + C[0][1] * v01 + C[1][1] * v11)
+
+        return ()
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, (), unroll=False)
+
+    @pl.when(p == pl.num_programs(0) - 1)
+    def _():
+        out_ref[...] = acc_ref[...]
+
+
+def _fwd_plane_major_call(vol, rays_tiled, starts, *, n_tiles, TR, n_planes,
+                          ky, zw, zc, precision, interpret):
+    from .joseph import _NROWS
+
+    Xp, Yp, Zp = vol.shape
+    kernel = functools.partial(
+        _fwd_plane_major_kernel, ky=ky, zw=zw, zc=zc, precision=precision,
+        n_tiles=n_tiles, TR=TR,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_planes,),
+        in_specs=[
+            pl.BlockSpec((n_tiles, 1, 4), lambda p: (0, p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_tiles, 1, 4), lambda p: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_NROWS, n_tiles * TR), lambda p: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Yp, Zp), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_tiles * TR), lambda p: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_tiles * TR), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, n_tiles * TR), jnp.float32)],
+        interpret=interpret,
+    )(starts, starts, rays_tiled, vol)
+
+
 @functools.lru_cache(maxsize=64)
 def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
                  precision, storage, interpret, use_prepped=False,
@@ -598,6 +699,15 @@ def _make_siddon(dims, image_shape, axis, voxel_shift, eps, tile, ky, zw, zc,
     def _run_fwd(vol, rays_tiled, starts, B):
         n_tiles = rays_tiled.shape[1] // TR
         rows = 2 if mip else 1
+        if not resident and not mip:
+            # Streaming sum-reduce: plane-major marching (one volume-plane
+            # DMA per slab instead of ~n_tiles windows; see the kernel).
+            out = _fwd_plane_major_call(
+                vol, rays_tiled, starts, n_tiles=n_tiles, TR=TR,
+                n_planes=n_planes, ky=ky, zw=zw, zc=zc,
+                precision=precision, interpret=interpret)
+            untile, _ = _tile_permutes(perm, B, N, TR, n_tiles_img)
+            return untile(out), None
         kernel = functools.partial(_fwd_kernel, resident=resident,
                                    reduce=reduce, **kw_static)
         out = pl.pallas_call(

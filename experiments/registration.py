@@ -60,9 +60,13 @@ from diffdrr_tpu.registration import make_registration_step
 @click.option("--lr-decay", default=1.0,
               help="Exponential LR decay: final LR = initial * lr_decay "
                    "(per scale). 1.0 disables the schedule")
+@click.option("--var-floor", default=0.0,
+              help="Relative patch-variance floor for the NCC metric "
+                   "(bounds near-flat-patch gradient amplification; "
+                   "0 = reference-parity metric)")
 def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
          dampening, lr_rotation, lr_translation, renderer, outdir, seed,
-         multistart, multiscale, iters_per_scale, lr_decay):
+         multistart, multiscale, iters_per_scale, lr_decay, var_floor):
     if cpu:
         jax.config.update("jax_platforms", "cpu")
     else:
@@ -74,7 +78,8 @@ def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
     )
     drr = DRR(subject, sdd=1020.0, height=height, delx=2.0, renderer=renderer)
     geo = DoubleGeodesicSE3(sdd=1020.0)
-    metric = MultiscaleNormalizedCrossCorrelation2d([None, 13], [0.5, 0.5])
+    metric = MultiscaleNormalizedCrossCorrelation2d(
+        [None, 13], [0.5, 0.5], var_floor=var_floor)
 
     rot_true = jnp.asarray([[0.0, np.pi / 2, 0.0]], jnp.float32)
     trans_true = jnp.asarray([[0.0, 850.0, 0.0]], jnp.float32)
@@ -141,26 +146,44 @@ def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
                 d_s, t_s, "euler_angles", "ZXY", **kw)
 
             @partial(jax.jit, static_argnames=("n",))
-            def go(drr_a, tgt_a, rot0, trans0, n, init_fn=init_fn,
-                   raw=step_fn.raw):
-                params, opt_state = init_fn(rot0, trans0)
-
+            def go(drr_a, tgt_a, params, opt_state, n, raw=step_fn.raw):
                 def body(carry, _):
                     params, opt_state = carry
                     params, opt_state, score = raw(drr_a, tgt_a, params,
                                                    opt_state)
                     return (params, opt_state), score
 
-                (params, _), scores = jax.lax.scan(
+                (params, opt_state), scores = jax.lax.scan(
                     body, (params, opt_state), None, length=n)
-                return params["rotation"], params["translation"], scores
+                return params, opt_state, scores
 
-            runners.append((go, d_s, t_s, n_s))
+            runners.append((go, init_fn, d_s, t_s, n_s))
+
+        # Iterations per device program: single 120-300-iteration scan
+        # executables at this scale reproducibly faulted the TPU worker
+        # (input-dependent; the identical trajectory per-iteration is
+        # clean — probes 2/3, round 5). Chunked scans with a host sync
+        # between chunks sidestep it (25-iteration chunks still faulted; 5 is stable
+        # on the current worker) at ~0.1 s/chunk sync cost.
+        CHUNK = 5
 
         def one_run(rot0, trans0, echo=False):
             rot_c, trans_c = rot0, trans0
-            for (go, d_s, t_s, n_s), sc in zip(runners, scales):
-                rot_c, trans_c, scores = go(d_s, t_s, rot_c, trans_c, n_s)
+            for (go, init_fn, d_s, t_s, n_s), sc in zip(runners, scales):
+                params, opt_state = init_fn(rot_c, trans_c)
+                first = last = None
+                done = 0
+                while done < n_s:
+                    n_c = min(CHUNK, n_s - done)
+                    params, opt_state, scores = go(d_s, t_s, params,
+                                                   opt_state, n_c)
+                    jax.block_until_ready(params["rotation"])
+                    if first is None:
+                        first = float(scores[0])
+                    last = float(scores[-1])
+                    done += n_c
+                rot_c = params["rotation"]
+                trans_c = params["translation"]
                 if echo:
                     pose_c = convert(rot_c, trans_c,
                                      parameterization="euler_angles",
@@ -168,7 +191,7 @@ def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
                     _, _, dg = geo(pose_true, pose_c)
                     click.echo(
                         f"    scale {sc}: {float(dg[0]):8.3f} mm, score "
-                        f"{float(scores[0]):.4f} -> {float(scores[-1]):.4f}")
+                        f"{first:.4f} -> {last:.4f}")
             return rot_c, trans_c
 
         # Warm-up run compiles every scale (remote Pallas compiles take

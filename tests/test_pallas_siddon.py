@@ -324,3 +324,32 @@ def test_detector_inside_volume_full_line_semantics():
     o = siddon_raycast(drr.density, sv, tv, w)
     np.testing.assert_allclose(np.asarray(k), np.asarray(o),
                                atol=2e-4 * float(jnp.abs(o).max()))
+
+
+def test_streaming_plane_major_interpret_parity():
+    """Plane-major streaming forward (round 5) vs the sort-based oracle in
+    interpret mode — the streaming dispatch now takes this path for scalar
+    sum-reduce renders."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from diffdrr_tpu import DRR, load_example_ct, convert
+    from diffdrr_tpu.ops.siddon import siddon_raycast
+    from diffdrr_tpu.ops.pallas.siddon import siddon_pallas_raycast
+
+    subject = load_example_ct(shape=(64, 64, 32))
+    drr = DRR(subject, sdd=800.0, height=32, delx=2.0)
+    rot = jnp.array([[0.013, np.pi / 2 + 0.017, -0.011]], jnp.float32)
+    trans = jnp.array([[3.0, 401.0, -2.0]], jnp.float32)
+    pose = convert(rot, trans, parameterization="euler_angles",
+                   convention="ZXY")
+    source, target = drr.detector(pose, None)
+    weights = jnp.linalg.norm(target - source, axis=-1)[:, None, :]
+    sv, tv = drr.affine_inverse(source), drr.affine_inverse(target)
+
+    ref = np.asarray(siddon_raycast(drr.density, sv, tv, weights))
+    got = np.asarray(siddon_pallas_raycast(
+        drr.density, sv, tv, weights, image_shape=(32, 32), axis=2,
+        tile=16, ky=64, zw=256, interpret=True,
+        resident=False)).reshape(ref.shape)
+    np.testing.assert_allclose(got, ref, atol=2e-3 * np.abs(ref).max())
