@@ -328,3 +328,45 @@ def test_mutual_information_large_image_runs():
     val, grad = jax.value_and_grad(lambda a: jnp.sum(mi(a, x2)))(x1)
     assert np.isfinite(float(val))
     assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_patch_ncc_var_floor_bounds_faint_patch_amplification():
+    """Round-5 find: with the absolute eps floor, near-flat (but not
+    exactly flat) patches get their cov gradient amplified ~1/sqrt(var) —
+    at full scale the faint air-adjacent patches then dominate the
+    analytic pose gradient and registration diverges. The relative
+    var_floor must (a) keep reference parity at 0, (b) make analytic
+    gradients track finite differences on images with large near-flat
+    regions."""
+    rng = np.random.default_rng(11)
+    H = W = 64
+    # structured target: a bright blob on an EXACTLY flat background
+    yy, xx = np.mgrid[:H, :W]
+    tgt = np.where((yy - 32) ** 2 + (xx - 30) ** 2 < 120,
+                   100.0, 0.0).astype(np.float32)
+    # moving image: shifted blob + faint noise in the "air" (near-flat)
+    img0 = np.roll(tgt, 3, axis=1) + rng.normal(
+        0, 1e-3, tgt.shape).astype(np.float32)
+    t = jnp.asarray(tgt)[None, None]
+    x0 = jnp.asarray(img0)[None, None]
+
+    from diffdrr_tpu.metrics import NormalizedCrossCorrelation2d
+
+    # Parity: var_floor=0 is bitwise the old metric.
+    a = NormalizedCrossCorrelation2d(13)(x0, t)
+    b = NormalizedCrossCorrelation2d(13, var_floor=0.0)(x0, t)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Gradient direction: with the floor, d(ncc)/d(shift-ish direction)
+    # must match finite differences (a global image scaling direction is
+    # smooth and differentiable — use it as the probe direction).
+    metric = NormalizedCrossCorrelation2d(13, var_floor=1e-3)
+
+    def loss(s):
+        return jnp.mean(metric(x0 * (1.0 + s) + s * t, t))
+
+    g = float(jax.grad(loss)(jnp.float32(0.0)))
+    eps = 1e-3
+    fd = (float(loss(jnp.float32(eps))) - float(loss(jnp.float32(-eps)))) / (2 * eps)
+    assert np.isfinite(g)
+    assert abs(g - fd) < 0.05 * max(abs(fd), 1e-3), (g, fd)
