@@ -463,3 +463,46 @@ def test_streaming_reader_interpret_parity():
             resident=False, **kw)).reshape(ref.shape)
         np.testing.assert_allclose(got, ref, atol=2e-3 * np.abs(ref).max(),
                                    err_msg=f"step={step}")
+
+
+def test_plane_major_dispatch_selection(monkeypatch):
+    """The streaming scalar sum-reduce forward must route through the
+    plane-major kernel; resident, MIP, channel, and blend renders must
+    not (they keep the tile-major path)."""
+    import diffdrr_tpu.ops.pallas.joseph as J
+    from diffdrr_tpu import DRR, load_example_ct, convert
+
+    calls = []
+    orig = J._fwd_plane_major_call
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(J, "_fwd_plane_major_call", spy)
+    J._make_joseph.cache_clear()  # factories close over the module global
+
+    subject = load_example_ct(shape=(64, 64, 32))
+    drr = DRR(subject, sdd=800.0, height=32, delx=2.0, renderer="joseph")
+    rot = jnp.array([[0.013, np.pi / 2 + 0.017, -0.011]], jnp.float32)
+    trans = jnp.array([[3.0, 401.0, -2.0]], jnp.float32)
+    pose = convert(rot, trans, parameterization="euler_angles",
+                   convention="ZXY")
+    source, target = drr.detector(pose, None)
+    weights = jnp.linalg.norm(target - source, axis=-1)[:, None, :]
+    sv, tv = drr.affine_inverse(source), drr.affine_inverse(target)
+
+    kw = dict(image_shape=(32, 32), axis=2, tile=16, ky=64, zw=256,
+              interpret=True)
+    from diffdrr_tpu.ops.pallas.joseph import joseph_pallas_raycast
+
+    joseph_pallas_raycast(drr.density, sv, tv, weights, resident=False, **kw)
+    assert len(calls) == 1, "streaming scalar render must go plane-major"
+
+    joseph_pallas_raycast(drr.density, sv, tv, weights, resident=True, **kw)
+    assert len(calls) == 1, "resident render must stay tile-major"
+
+    joseph_pallas_raycast(drr.density, sv, tv, weights, resident=False,
+                          reducefn="max", **kw)
+    assert len(calls) == 1, "MIP must stay tile-major"
+    J._make_joseph.cache_clear()  # drop cores closing over the spy
