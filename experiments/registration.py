@@ -64,9 +64,25 @@ from diffdrr_tpu.registration import make_registration_step
               help="Relative patch-variance floor for the NCC metric "
                    "(bounds near-flat-patch gradient amplification; "
                    "0 = reference-parity metric)")
+@click.option("--polish-iters", default=0,
+              help="Append a full-scale gradient-NCC polish stage of this "
+                   "many iterations after the multiscale schedule. Patch "
+                   "NCC cannot discriminate sub-2mm poses on flat-air "
+                   "volumes (its eps-floored flat patches put the metric "
+                   "optimum ~1.8 mm from truth — round-5 shootout, "
+                   "tools/diag_reg2.py); gradient NCC's landscape is exact "
+                   "(score(true)=1.0, strictly positive drops every "
+                   "direction incl. depth), matching the reference's own "
+                   "GradientNCC endgame metric (ref metrics.py:96-108)")
+@click.option("--polish-lr-rotation", default=1e-3)
+@click.option("--polish-lr-translation", default=1e-1)
+@click.option("--polish-lr-decay", default=0.1,
+              help="Exponential LR decay over the polish stage")
 def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
          dampening, lr_rotation, lr_translation, renderer, outdir, seed,
-         multistart, multiscale, iters_per_scale, lr_decay, var_floor):
+         multistart, multiscale, iters_per_scale, lr_decay, var_floor,
+         polish_iters, polish_lr_rotation, polish_lr_translation,
+         polish_lr_decay):
     if cpu:
         jax.config.update("jax_platforms", "cpu")
     else:
@@ -127,21 +143,39 @@ def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
                              d_s.detector.height, d_s.detector.width),
                     method="linear"))
 
-        # Build each scale's jitted scan runner ONCE — optimize() creates
+        # Stage table: the multiscale patch-NCC schedule, plus (opt-in) a
+        # full-scale gradient-NCC polish. Each row: (drr, target, iters,
+        # metric, lr_rot, lr_trans, decay, label).
+        stages = [
+            (d_s, t_s, n_s, metric, lr_rotation, lr_translation, lr_decay,
+             str(sc))
+            for d_s, t_s, n_s, sc in zip(drrs, tgts, its, scales)
+        ]
+        if polish_iters > 0:
+            from diffdrr_tpu.metrics import (
+                GradientNormalizedCrossCorrelation2d,
+            )
+
+            stages.append((drr, target, polish_iters,
+                           GradientNormalizedCrossCorrelation2d(),
+                           polish_lr_rotation, polish_lr_translation,
+                           polish_lr_decay, "polish"))
+
+        # Build each stage's jitted scan runner ONCE — optimize() creates
         # fresh closures per call, retracing every scale of every run
         # (~20 s/run of pure retrace at three scales).
         runners = []
-        for d_s, t_s, n_s in zip(drrs, tgts, its):
-            kw = dict(metric=metric, optimizer=optimizer,
+        for d_s, t_s, n_s, metric_s, lr_r, lr_t, decay_s, label in stages:
+            kw = dict(metric=metric_s, optimizer=optimizer,
                       momentum=momentum, dampening=dampening)
-            if optimizer != "lbfgs" and lr_decay < 1.0:
+            if optimizer != "lbfgs" and decay_s < 1.0:
                 kw["lr_rotation"] = optax.exponential_decay(
-                    lr_rotation, n_s, lr_decay)
+                    lr_r, n_s, decay_s)
                 kw["lr_translation"] = optax.exponential_decay(
-                    lr_translation, n_s, lr_decay)
+                    lr_t, n_s, decay_s)
             else:
-                kw["lr_rotation"] = lr_rotation
-                kw["lr_translation"] = lr_translation
+                kw["lr_rotation"] = lr_r
+                kw["lr_translation"] = lr_t
             init_fn, step_fn = make_registration_step(
                 d_s, t_s, "euler_angles", "ZXY", **kw)
 
@@ -157,7 +191,7 @@ def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
                     body, (params, opt_state), None, length=n)
                 return params, opt_state, scores
 
-            runners.append((go, init_fn, d_s, t_s, n_s))
+            runners.append((go, init_fn, d_s, t_s, n_s, label))
 
         # Iterations per device program: single 120-300-iteration scan
         # executables at this scale reproducibly faulted the TPU worker
@@ -169,7 +203,7 @@ def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
 
         def one_run(rot0, trans0, echo=False):
             rot_c, trans_c = rot0, trans0
-            for (go, init_fn, d_s, t_s, n_s), sc in zip(runners, scales):
+            for go, init_fn, d_s, t_s, n_s, sc in runners:
                 params, opt_state = init_fn(rot_c, trans_c)
                 first = last = None
                 done = 0
@@ -209,7 +243,7 @@ def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
                            convention="ZXY")
             _, _, dgeo = geo(pose_true, pose)
             final_mm = float(dgeo[0])
-            iters_total = sum(its)
+            iters_total = sum(its) + polish_iters
             summary.append([run, final_mm < 1.0, iters_total, final_mm,
                             iters_total / elapsed])
             click.echo(
@@ -223,7 +257,8 @@ def main(cpu, n_runs, n_iters, height, volume_size, optimizer, momentum,
             w.writerows(summary)
         n_conv = sum(1 for s in summary if s[1])
         click.echo(f"converged {n_conv}/{n_runs} "
-                   f"(scales {scales}, iters {its}, lr_decay {lr_decay})")
+                   f"(scales {scales}, iters {its}, lr_decay {lr_decay}, "
+                   f"polish {polish_iters})")
         return
 
     init_fn, step_fn = make_registration_step(
