@@ -335,3 +335,66 @@ def test_rescaled_drr_preserves_fov_and_options():
                                32 * 3.0, rtol=1e-6)
     assert c.pallas_storage == "bf16"
     assert c.checkpoint_gradients is True
+
+
+def test_gradient_ncc_polish_endgame(setup):
+    """The round-5 endgame finding (tools/diag_reg2.py): on flat-air
+    phantoms, patch NCC's value landscape is NOT maximal at the true pose
+    (eps-floored flat patches contribute noise that can prefer mm-scale
+    offsets), while gradient NCC's is exact — score(true) = 1.0 and every
+    small pose offset strictly decreases it, including the depth direction
+    patch NCC is nearly blind to. The full-scale registration experiment's
+    --polish-iters stage relies on this.
+    """
+    from diffdrr_tpu.metrics import GradientNormalizedCrossCorrelation2d
+
+    _, drr, rot_true, trans_true, target = setup
+    gncc = GradientNormalizedCrossCorrelation2d()
+
+    def score(drot, dtrans):
+        img = drr(
+            rot_true + jnp.asarray([drot], jnp.float32),
+            trans_true + jnp.asarray([dtrans], jnp.float32),
+            parameterization="euler_angles", convention="ZXY", n_points=200,
+        )
+        return float(gncc(img, target)[0])
+
+    s0 = score((0, 0, 0), (0, 0, 0))
+    np.testing.assert_allclose(s0, 1.0, atol=1e-6)
+    offsets = [
+        ((0.02, 0, 0), (0, 0, 0)),
+        ((0, 0.02, 0), (0, 0, 0)),
+        ((0, 0, 0.02), (0, 0, 0)),
+        ((0, 0, 0), (1.5, 0, 0)),
+        ((0, 0, 0), (0, 1.5, 0)),   # depth: the patch-NCC blind spot
+        ((0, 0, 0), (0, -1.5, 0)),
+        ((0, 0, 0), (0, 0, 1.5)),
+    ]
+    for drot, dtrans in offsets:
+        assert score(drot, dtrans) < s0 - 1e-6, (drot, dtrans)
+
+
+def test_gradient_ncc_descends_from_millimetre_offset(setup):
+    """Adam on gradient NCC from a ~2 mm offset reaches deep sub-mm pose
+    error — the polish-stage contract behind the full-scale experiment's
+    0.014 mm convergence record (experiments/results_fullscale)."""
+    from diffdrr_tpu.metrics import GradientNormalizedCrossCorrelation2d
+
+    _, drr, rot_true, trans_true, target = setup
+    geo = DoubleGeodesicSE3(sdd=800.0)
+    pose_true = convert(rot_true, trans_true,
+                        parameterization="euler_angles", convention="ZXY")
+    rot, trans, trace = optimize(
+        drr, target, rot_true + 0.004, trans_true + 1.5,
+        "euler_angles", "ZXY", n_iters=150,
+        lr_rotation=1e-3, lr_translation=1e-1, n_points=200,
+        metric=GradientNormalizedCrossCorrelation2d(),
+    )
+    pose = convert(rot, trans, parameterization="euler_angles",
+                   convention="ZXY")
+    _, _, dgeo0 = geo(pose_true, convert(
+        rot_true + 0.004, trans_true + 1.5,
+        parameterization="euler_angles", convention="ZXY"))
+    _, _, dgeo = geo(pose_true, pose)
+    assert float(trace[-1]) > float(trace[0])
+    assert float(dgeo[0]) < 0.5 < float(dgeo0[0])
