@@ -243,6 +243,15 @@ def _blend_win(w, p, h, n_src_planes, blend):
 # keeps its 2-slot store-wait discipline). Env override for A/B sweeps.
 _DMA_SLOTS = int(os.environ.get("DIFFDRR_TPU_DMA_SLOTS", "4"))
 
+# Rolled plane-pair cache for sub-plane (literal) marching. Default OFF:
+# hardware A/B (tools/probe_r5.py, round 5) measured the cached path at
+# 16.46 ms vs 9.60 ms without it at the literal n=500 config — the
+# pl.when-predicated scratch refresh costs more than the per-step
+# roll+blend it saves (interpret-mode parity holds either way, which is
+# why the regression shipped). Kept behind the env flag for future
+# Mosaic-version A/Bs.
+_PAIR_CACHE = os.environ.get("DIFFDRR_TPU_PAIR_CACHE", "0") == "1"
+
 
 def _window_reader(vol_ref, starts_ref, win_buf, sems, h, ky, zw, blend,
                    resident):
@@ -369,7 +378,7 @@ def _fwd_kernel(
     reduce="sum",
 ):
     pair_ref = None
-    if blend and resident:
+    if blend and resident and _PAIR_CACHE:
         # Sub-plane (literal trilinear) marching re-reads and re-rolls the
         # SAME two volume planes for every sample sharing a plane pair
         # (~1/h consecutive steps at h < 1). Cache the rolled f32 pair and
@@ -1452,7 +1461,7 @@ def _fwd_call(vol, rays_tiled, starts, lab, *, n_tiles, TR, n_planes,
             # Rolled plane-pair cache for sub-plane (literal) marching —
             # must stay LAST (the kernel pops it off the ref tail).
             [pltpu.VMEM((2, ky, zc), jnp.float32)]
-            if (blend and resident) else []),
+            if (blend and resident and _PAIR_CACHE) else []),
         interpret=interpret,
         **_vmem_params(resident, vol, lab if n_ch is not None else None),
     )(*args)
