@@ -510,7 +510,7 @@ def _fwd_plane_major_kernel(
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (zc, TR), 0).astype(jnp.float32)
 
     def tile_body(t, _):
-        aux = starts0_ref[t, 0, 3]
+        aux = starts0_ref[0, t, 3]
         lo = aux // 65536
         hi = jax.lax.rem(aux, 65536)
 
@@ -528,9 +528,9 @@ def _fwd_plane_major_kernel(
                 "amin": rays_ref[_AMIN:_AMIN + 1, sl],
                 "amax": rays_ref[_AMAX:_AMAX + 1, sl],
             }
-            ys = starts_ref[t, 0, 0]
-            zal = starts_ref[t, 0, 1]
-            zsh = starts_ref[t, 0, 2]
+            ys = starts_ref[0, t, 0]
+            zal = starts_ref[0, t, 1]
+            zsh = starts_ref[0, t, 2]
             k = p.astype(jnp.float32) * h
             alpha = k * r["a"] + r["b"]
             inslab = jnp.logical_and(alpha >= r["amin"], alpha <= r["amax"])
@@ -564,13 +564,20 @@ def _fwd_plane_major_call(vol, rays_tiled, starts, *, n_tiles, TR, n_planes,
         _fwd_plane_major_kernel, h=float(h), ky=ky, zw=zw, zc=zc,
         precision=precision, n_tiles=n_tiles, TR=TR,
     )
+    # Plane-major starts layout: Mosaic requires a block's trailing two
+    # dims to be 8/128-divisible OR equal to the array dims — the
+    # tile-major (n_tiles, 1, 4) block of a (n_tiles, n_planes, 4) array
+    # violates that (caught only on hardware; interpret mode never
+    # lowers). With the plane index LEADING, the (1, n_tiles, 4) block's
+    # trailing dims equal the array dims.
+    starts = starts.transpose(1, 0, 2)
     return pl.pallas_call(
         kernel,
         grid=(n_planes,),
         in_specs=[
-            pl.BlockSpec((n_tiles, 1, 4), lambda p: (0, p, 0),
+            pl.BlockSpec((1, n_tiles, 4), lambda p: (p, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_tiles, 1, 4), lambda p: (0, 0, 0),
+            pl.BlockSpec((1, n_tiles, 4), lambda p: (0, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_NROWS, n_tiles * TR), lambda p: (0, 0),
                          memory_space=pltpu.VMEM),

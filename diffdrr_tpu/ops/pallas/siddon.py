@@ -593,7 +593,7 @@ def _fwd_plane_major_kernel(
         jnp.int32, (zc, 2 * TR), 0).astype(jnp.float32)
 
     def tile_body(t, _):
-        aux0 = starts0_ref[t, 0, 3]
+        aux0 = starts0_ref[0, t, 3]
         lo = aux0 // 65536
         hi = jax.lax.rem(aux0, 65536)
 
@@ -614,9 +614,9 @@ def _fwd_plane_major_kernel(
                 "amin": rays_ref[_AMIN:_AMIN + 1, sl],
                 "amax": rays_ref[_AMAX:_AMAX + 1, sl],
             }
-            ys = starts_ref[t, 0, 0]
-            zal = starts_ref[t, 0, 1]
-            zsh = starts_ref[t, 0, 2]
+            ys = starts_ref[0, t, 0]
+            zal = starts_ref[0, t, 1]
+            zsh = starts_ref[0, t, 2]
             C, ry0, rz0, _ = _slab_segments(
                 r, p, None,
                 window_origin=(ys.astype(jnp.float32),
@@ -647,13 +647,16 @@ def _fwd_plane_major_call(vol, rays_tiled, starts, *, n_tiles, TR, n_planes,
         _fwd_plane_major_kernel, ky=ky, zw=zw, zc=zc, precision=precision,
         n_tiles=n_tiles, TR=TR,
     )
+    # Plane-major starts layout — see ..joseph._fwd_plane_major_call for
+    # the Mosaic block-shape rule this satisfies.
+    starts = starts.transpose(1, 0, 2)
     return pl.pallas_call(
         kernel,
         grid=(n_planes,),
         in_specs=[
-            pl.BlockSpec((n_tiles, 1, 4), lambda p: (0, p, 0),
+            pl.BlockSpec((1, n_tiles, 4), lambda p: (p, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_tiles, 1, 4), lambda p: (0, 0, 0),
+            pl.BlockSpec((1, n_tiles, 4), lambda p: (0, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_NROWS, n_tiles * TR), lambda p: (0, 0),
                          memory_space=pltpu.VMEM),
