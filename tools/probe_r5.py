@@ -65,9 +65,12 @@ def per_iter(run, rot0, iters=6, reps=3):
 
 cfg = sys.argv[1]
 if cfg == "literal":
+    tile_kw = {}
+    if len(sys.argv) > 2:  # optional pallas_tile override for sweeps
+        tile_kw["pallas_tile"] = int(sys.argv[2])
     subject = load_example_ct(shape=(512, 512, 133))
     drr = DRR(subject, sdd=1020.0, height=200, delx=2.0,
-              renderer="trilinear")
+              renderer="trilinear", **tile_kw)
     kw = dict(axis=2, n_points=500, allow_oversample=True)
     # value check vs XLA oracle
     img = drr(rot0, trans, parameterization="euler_angles",
